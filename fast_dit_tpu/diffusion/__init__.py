@@ -1,0 +1,194 @@
+"""Diffusion-process library: schedules, losses, and scan-compiled samplers.
+
+`create_diffusion` keeps the reference factory's signature and defaults
+(`/root/reference/diffusion/__init__.py:10-46`): 1000-step linear schedule,
+epsilon prediction, LEARNED_RANGE variance, MSE loss, with the respacing
+string mini-DSL ("250", "ddim50", "10,15,20").
+
+The returned `Diffusion` facade mirrors the reference `SpacedDiffusion` method
+surface (training_losses / q_sample / p_sample_loop / ddim_sample_loop / ...)
+while the underlying implementation is purely functional (see `gaussian.py`,
+`sampling.py`) and compiled as single XLA programs.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import gaussian, sampling
+from .gaussian import (
+    calc_bpd_loop,
+    ddim_reverse_step,
+    ddim_step,
+    mean_flat,
+    normal_kl,
+    p_mean_variance,
+    p_sample_step,
+    prior_bpd,
+    q_posterior_mean_variance,
+    q_sample,
+    training_losses,
+    vb_terms_bpd,
+)
+from .respace import space_timesteps
+from .sampling import ddim_reverse_sample_loop, ddim_sample_loop, p_sample_loop
+from .schedule import (
+    DiffusionSchedule,
+    LossType,
+    MeanType,
+    VarType,
+    betas_for_alpha_bar,
+    get_beta_schedule,
+    get_named_beta_schedule,
+)
+from .timestep_samplers import (
+    LossSecondMomentState,
+    UniformSamplerState,
+    create_named_schedule_sampler,
+    sample_timesteps,
+    update_with_losses,
+)
+
+__all__ = [
+    "create_diffusion",
+    "Diffusion",
+    "DiffusionSchedule",
+    "MeanType",
+    "VarType",
+    "LossType",
+    "space_timesteps",
+    "get_named_beta_schedule",
+    "get_beta_schedule",
+    "betas_for_alpha_bar",
+    "gaussian",
+    "sampling",
+    "create_named_schedule_sampler",
+    "sample_timesteps",
+    "update_with_losses",
+    "UniformSamplerState",
+    "LossSecondMomentState",
+]
+
+
+class Diffusion:
+    """Ergonomic facade over the functional core, mirroring the reference's
+    `SpacedDiffusion` object API (gaussian_diffusion.py:144+, respace.py:65+).
+
+    `model_fn` arguments everywhere take `(x, t_original, **model_kwargs)`
+    -- the respacing timestep remap is applied internally, like the
+    reference's `_WrappedModel` (respace.py:117-129).
+    """
+
+    def __init__(self, schedule: DiffusionSchedule):
+        self.schedule = schedule
+
+    # -- properties mirroring the reference attribute surface ---------------
+    @property
+    def num_timesteps(self) -> int:
+        return self.schedule.num_timesteps
+
+    @property
+    def original_num_steps(self) -> int:
+        return self.schedule.original_num_steps
+
+    @property
+    def timestep_map(self):
+        return self.schedule.timestep_map
+
+    def _wrap(self, model_fn: Callable, model_kwargs: Optional[dict]) -> Callable:
+        kwargs = model_kwargs or {}
+        return lambda x, t: model_fn(x, t, **kwargs)
+
+    # -- q process -----------------------------------------------------------
+    def q_sample(self, x_start, t, noise):
+        return q_sample(self.schedule, x_start, t, noise)
+
+    def q_mean_variance(self, x_start, t):
+        return gaussian.q_mean_variance(self.schedule, x_start, t)
+
+    def q_posterior_mean_variance(self, x_start, x_t, t):
+        return q_posterior_mean_variance(self.schedule, x_start, x_t, t)
+
+    # -- losses ---------------------------------------------------------------
+    def training_losses(self, model_fn, x_start, t, model_kwargs=None, noise=None, rng=None):
+        if noise is None:
+            if rng is None:
+                raise ValueError("provide `noise` or `rng`")
+            noise = jax.random.normal(rng, x_start.shape, x_start.dtype)
+        return training_losses(
+            self.schedule, self._wrap(model_fn, model_kwargs), x_start, t, noise
+        )
+
+    def calc_bpd_loop(self, model_fn, x_start, rng, clip_denoised=True, model_kwargs=None):
+        return calc_bpd_loop(
+            self.schedule, self._wrap(model_fn, model_kwargs), x_start, rng,
+            clip_denoised=clip_denoised,
+        )
+
+    # -- samplers ---------------------------------------------------------------
+    def p_sample_loop(self, model_fn, shape, *, rng=None, noise=None, step_noise=None,
+                      clip_denoised=True, denoised_fn=None, cond_fn=None,
+                      model_kwargs=None, return_intermediates=False, dtype=jnp.float32):
+        return p_sample_loop(
+            self._wrap(model_fn, model_kwargs), shape, self.schedule,
+            rng=rng, noise=noise, step_noise=step_noise, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn, cond_fn=cond_fn,
+            return_intermediates=return_intermediates, dtype=dtype,
+        )
+
+    def ddim_sample_loop(self, model_fn, shape, *, rng=None, noise=None, step_noise=None,
+                         clip_denoised=True, denoised_fn=None, cond_fn=None, eta=0.0,
+                         model_kwargs=None, return_intermediates=False, dtype=jnp.float32):
+        return ddim_sample_loop(
+            self._wrap(model_fn, model_kwargs), shape, self.schedule,
+            rng=rng, noise=noise, step_noise=step_noise, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn, cond_fn=cond_fn, eta=eta,
+            return_intermediates=return_intermediates, dtype=dtype,
+        )
+
+    def ddim_reverse_sample_loop(self, model_fn, x_start, *, clip_denoised=True,
+                                 denoised_fn=None, cond_fn=None, model_kwargs=None,
+                                 return_intermediates=False, dtype=jnp.float32):
+        return ddim_reverse_sample_loop(
+            self._wrap(model_fn, model_kwargs), x_start, self.schedule,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_fn=cond_fn,
+            return_intermediates=return_intermediates, dtype=dtype,
+        )
+
+
+def create_diffusion(
+    timestep_respacing,
+    noise_schedule: str = "linear",
+    use_kl: bool = False,
+    sigma_small: bool = False,
+    predict_xstart: bool = False,
+    learn_sigma: bool = True,
+    rescale_learned_sigmas: bool = False,
+    diffusion_steps: int = 1000,
+) -> Diffusion:
+    """Factory with the reference's exact signature and defaults
+    (/root/reference/diffusion/__init__.py:10-46)."""
+    betas = get_named_beta_schedule(noise_schedule, diffusion_steps)
+    if use_kl:
+        loss_type = LossType.RESCALED_KL
+    elif rescale_learned_sigmas:
+        loss_type = LossType.RESCALED_MSE
+    else:
+        loss_type = LossType.MSE
+    if timestep_respacing is None or timestep_respacing == "":
+        timestep_respacing = [diffusion_steps]
+    schedule = DiffusionSchedule.create(
+        betas,
+        mean_type=MeanType.EPSILON if not predict_xstart else MeanType.START_X,
+        var_type=(
+            (VarType.FIXED_LARGE if not sigma_small else VarType.FIXED_SMALL)
+            if not learn_sigma
+            else VarType.LEARNED_RANGE
+        ),
+        loss_type=loss_type,
+        use_timesteps=space_timesteps(diffusion_steps, timestep_respacing),
+    )
+    return Diffusion(schedule)

@@ -1,0 +1,257 @@
+"""DiT building blocks in flax.linen.
+
+Behavioral parity with `/root/reference/train_options/models_original.py`:
+`modulate` (:19), `TimestepEmbedder` (:27-64), `LabelEmbedder` (:67-94),
+`DiTBlock` (:101-122), `FinalLayer` (:125-142), and the init scheme
+(:182-216: xavier-uniform linears, N(0, 0.02) embedders, zeroed adaLN and
+final layer). Redesigned TPU-first:
+
+- PatchEmbed is a patch-reshape + one Dense (an einsum the MXU tiles
+  natively) instead of a strided conv — bit-identical math to a conv whose
+  stride equals its kernel, and the layout the torch-checkpoint importer
+  flattens conv weights into.
+- Attention is the pluggable backend op in `ops/attention.py` (Pallas flash
+  attention on TPU); qkv is one fused projection with timm's (3, H, D/H)
+  split order so reference checkpoints map 1:1.
+- LayerNorms carry no affine (reference uses elementwise_affine=False); the
+  adaLN shift/scale/gate math is left to XLA elementwise fusion.
+- Compute dtype is a module knob (`dtype`) for bf16 activations with fp32
+  params; LayerNorm statistics and softmax stay fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.attention import dot_product_attention
+
+__all__ = [
+    "modulate",
+    "PatchEmbed",
+    "TimestepEmbedder",
+    "LabelEmbedder",
+    "Attention",
+    "Mlp",
+    "DiTBlock",
+    "FinalLayer",
+]
+
+xavier_uniform = nn.initializers.xavier_uniform()
+zeros_init = nn.initializers.zeros
+normal02 = nn.initializers.normal(stddev=0.02)
+
+
+def modulate(x, shift, scale):
+    """x * (1 + scale) + shift with (B, D) conditioners over (B, N, D) tokens
+    (reference models_original.py:19-20)."""
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class PatchEmbed(nn.Module):
+    """Patchify NCHW input to (B, N, D) tokens with a single Dense.
+
+    Equivalent to the reference's conv-based timm PatchEmbed
+    (models_original.py:169) — a conv with stride == kernel is exactly a
+    Dense over patches flattened in (C, ph, pw) order, which is also how the
+    torch conv weight `(D, C, ph, pw)` flattens for import.
+    """
+
+    patch_size: int
+    hidden_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, C, H, W = x.shape
+        p = self.patch_size
+        assert H % p == 0 and W % p == 0, f"input {H}x{W} not divisible by patch {p}"
+        gh, gw = H // p, W // p
+        x = x.reshape(B, C, gh, p, gw, p)
+        x = x.transpose(0, 2, 4, 1, 3, 5)          # (B, gh, gw, C, p, p)
+        x = x.reshape(B, gh * gw, C * p * p)
+        x = nn.Dense(
+            self.hidden_size,
+            kernel_init=xavier_uniform,             # reference models_original.py:195-198
+            bias_init=zeros_init,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return x
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal frequency embedding + MLP (reference models_original.py:27-64)."""
+
+    hidden_size: int
+    frequency_embedding_size: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @staticmethod
+    def timestep_embedding(t, dim, max_period=10000):
+        """[cos | sin] embedding; frequencies exp(-log(P) * i / half)
+        (reference models_original.py:40-59 — note cos-first order)."""
+        half = dim // 2
+        freqs = jnp.exp(
+            -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+        )
+        args = t.astype(jnp.float32)[:, None] * freqs[None]
+        embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+        if dim % 2:
+            embedding = jnp.concatenate(
+                [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1)
+        return embedding
+
+    @nn.compact
+    def __call__(self, t):
+        t_freq = self.timestep_embedding(t, self.frequency_embedding_size)
+        t_emb = nn.Dense(self.hidden_size, kernel_init=normal02,
+                         bias_init=zeros_init, dtype=self.dtype, name="fc1")(t_freq)
+        t_emb = nn.silu(t_emb)
+        t_emb = nn.Dense(self.hidden_size, kernel_init=normal02,
+                         bias_init=zeros_init, dtype=self.dtype, name="fc2")(t_emb)
+        return t_emb
+
+
+class LabelEmbedder(nn.Module):
+    """Class-label embedding with CFG null-class dropout
+    (reference models_original.py:67-94). The null class id == num_classes."""
+
+    num_classes: int
+    hidden_size: int
+    dropout_prob: float
+
+    def setup(self):
+        use_cfg_embedding = int(self.dropout_prob > 0)
+        self.embedding_table = nn.Embed(
+            self.num_classes + use_cfg_embedding,
+            self.hidden_size,
+            embedding_init=normal02,  # reference models_original.py:201
+            name="embedding_table",
+        )
+
+    def token_drop(self, labels, rng=None, force_drop_ids=None):
+        if force_drop_ids is None:
+            drop = jax.random.uniform(rng, (labels.shape[0],)) < self.dropout_prob
+        else:
+            drop = force_drop_ids == 1
+        return jnp.where(drop, self.num_classes, labels)
+
+    def __call__(self, labels, train: bool, force_drop_ids=None):
+        use_dropout = self.dropout_prob > 0
+        if (train and use_dropout) or (force_drop_ids is not None):
+            rng = self.make_rng("label_drop") if force_drop_ids is None else None
+            labels = self.token_drop(labels, rng, force_drop_ids)
+        return self.embedding_table(labels)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with timm-compatible fused qkv
+    (timm semantics as used at reference models_original.py:108)."""
+
+    hidden_size: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, D = x.shape
+        H = self.num_heads
+        assert D % H == 0
+        hd = D // H
+        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, kernel_init=xavier_uniform,
+                       bias_init=zeros_init, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, H, hd)          # timm's (3, H, hd) split order
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        out = out.reshape(B, N, D)
+        out = nn.Dense(D, kernel_init=xavier_uniform, bias_init=zeros_init,
+                       dtype=self.dtype, name="proj")(out)
+        return out
+
+
+class Mlp(nn.Module):
+    """Dense -> GELU(tanh) -> Dense (timm Mlp with approximate GELU,
+    reference models_original.py:110-112)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.hidden_features, kernel_init=xavier_uniform,
+                     bias_init=zeros_init, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dense(self.out_features, kernel_init=xavier_uniform,
+                     bias_init=zeros_init, dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+def _layer_norm(x, dtype):
+    """LayerNorm with no learnable affine, eps=1e-6, fp32 statistics
+    (reference models_original.py:107,109,131)."""
+    return nn.LayerNorm(
+        epsilon=1e-6, use_bias=False, use_scale=False, dtype=dtype)(x)
+
+
+class DiTBlock(nn.Module):
+    """adaLN-Zero transformer block (reference models_original.py:101-122).
+
+    The 6 modulation params (shift/scale/gate for attn and mlp) come from
+    SiLU(c) -> Dense(6D) initialized to zero, so the block starts as identity.
+    """
+
+    hidden_size: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+    attn_backend: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(6 * self.hidden_size, kernel_init=zeros_init,
+                       bias_init=zeros_init, dtype=self.dtype,
+                       name="adaLN_modulation")(nn.silu(c))
+        (shift_msa, scale_msa, gate_msa,
+         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+        attn_out = Attention(
+            self.hidden_size, self.num_heads, dtype=self.dtype,
+            attn_backend=self.attn_backend, name="attn",
+        )(modulate(_layer_norm(x, self.dtype), shift_msa, scale_msa))
+        x = x + gate_msa[:, None, :] * attn_out
+        mlp_out = Mlp(
+            int(self.hidden_size * self.mlp_ratio), self.hidden_size,
+            dtype=self.dtype, name="mlp",
+        )(modulate(_layer_norm(x, self.dtype), shift_mlp, scale_mlp))
+        x = x + gate_mlp[:, None, :] * mlp_out
+        return x
+
+
+class FinalLayer(nn.Module):
+    """adaLN (2-param) + zero-initialized linear head
+    (reference models_original.py:125-142)."""
+
+    hidden_size: int
+    patch_size: int
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, c):
+        mod = nn.Dense(2 * self.hidden_size, kernel_init=zeros_init,
+                       bias_init=zeros_init, dtype=self.dtype,
+                       name="adaLN_modulation")(nn.silu(c))
+        shift, scale = jnp.split(mod, 2, axis=-1)
+        x = modulate(_layer_norm(x, self.dtype), shift, scale)
+        x = nn.Dense(self.patch_size * self.patch_size * self.out_channels,
+                     kernel_init=zeros_init, bias_init=zeros_init,
+                     dtype=self.dtype, name="linear")(x)
+        return x

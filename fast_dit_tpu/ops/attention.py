@@ -1,0 +1,62 @@
+"""Attention backend dispatch.
+
+The reference delegates attention to timm's `Attention` module
+(`/root/reference/train_options/models_original.py:108`), i.e. a naive
+softmax(QK^T)V in torch. Here attention is a pluggable op with three
+implementations:
+
+- "xla":    `jax.nn.dot_product_attention` — XLA's fused attention; the
+            default on CPU and the fallback everywhere.
+- "pallas": our flash-attention TPU kernel (`ops/flash_attention.py`),
+            bf16-friendly, fp32 accumulation, online softmax.
+- "einsum": reference-shaped naive attention, used in tests as the numerical
+            ground truth.
+
+All take (B, S, H, D) q/k/v and return (B, S, H, D).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["dot_product_attention", "naive_attention", "resolve_backend"]
+
+
+def naive_attention(q, k, v, scale=None):
+    """softmax(q k^T / sqrt(d)) v, computed the obvious way (fp32 softmax)."""
+    B, S, H, D = q.shape
+    scale = D ** -0.5 if scale is None else scale
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.cache
+def _has_pallas_support() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        return "pallas" if _has_pallas_support() else "xla"
+    return backend
+
+
+def dot_product_attention(q, k, v, *, backend: str = "auto", scale=None):
+    """Dispatch attention to the chosen backend. q/k/v: (B, S, H, D)."""
+    backend = resolve_backend(backend)
+    if backend == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v, scale=scale)
+    if backend == "xla":
+        return jax.nn.dot_product_attention(q, k, v, scale=scale)
+    if backend == "einsum":
+        return naive_attention(q, k, v, scale=scale)
+    raise ValueError(f"unknown attention backend: {backend}")

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The reference could never test its NCCL paths without GPUs; here multi-chip
+sharding tests run anywhere via XLA's host-platform device override
+(SURVEY.md §4 item d).
+
+Note: the ambient environment may pre-import jax with a remote-TPU (axon)
+backend via sitecustomize, overriding JAX_PLATFORMS env vars — so we force
+the platform through jax.config AFTER import, before any backend is
+initialized. Every test dispatch must stay local.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on local CPU devices"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
