@@ -1,0 +1,97 @@
+"""Benchmark: DiT-XL/2 training steps/sec at global batch 128 on one chip.
+
+Apples-to-apples with the reference's headline training number: 0.84
+steps/sec on 1xA100-80GB with its full fast path (gradient checkpointing +
+AMP + pre-extracted VAE features, `/root/reference/README.md:108-113`). Our
+equivalent: remat'd blocks + bf16 activations + synthetic latent features,
+one jitted train step with donated state.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_STEPS_PER_SEC = 0.84  # 1xA100, reference README.md:113
+
+
+def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
+        attn_backend: str):
+    from fast_dit_tpu.diffusion import create_diffusion
+    from fast_dit_tpu.models import DiT_models
+    from fast_dit_tpu.train import create_train_state, make_train_step
+
+    latent = image_size // 8
+    model = DiT_models[model_name](
+        input_size=latent, dtype=jnp.bfloat16, remat=True,
+        attn_backend=attn_backend)
+    schedule = create_diffusion("").schedule
+    state, tx = create_train_state(model, jax.random.PRNGKey(0))
+    step = jax.jit(
+        make_train_step(model, schedule, tx, grad_accum=accum),
+        donate_argnums=(0,),
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, 4, latent, latent))
+    y = jax.random.randint(jax.random.PRNGKey(2), (batch,), 0, 1000)
+    batch_data = {"x": x, "y": y}
+
+    # warmup / compile
+    state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics["loss"])
+    state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    return steps / dt, float(metrics["loss"])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="DiT-XL/2")
+    ap.add_argument("--global-batch-size", type=int, default=128)
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--accum", type=int, default=0, help="0 = auto")
+    ap.add_argument("--attn-backend", default="auto")
+    ap.add_argument("--quick", action="store_true",
+                    help="small model / batch smoke run")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.model, args.global_batch_size, args.steps = "DiT-S/2", 16, 3
+
+    accum_plan = [args.accum] if args.accum else [1, 2, 4]
+    last_err = None
+    for accum in accum_plan:
+        try:
+            sps, loss = run(args.model, args.global_batch_size, accum,
+                            args.steps, args.image_size, args.attn_backend)
+            result = {
+                "metric": f"train steps/sec, {args.model} {args.image_size}x{args.image_size}, "
+                          f"global bs {args.global_batch_size}, 1 chip",
+                "value": round(sps, 4),
+                "unit": "steps/sec",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+            }
+            print(json.dumps(result))
+            return
+        except Exception as e:  # OOM -> retry with gradient accumulation
+            last_err = e
+            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+                raise
+            print(f"# accum={accum} OOM, retrying with more accumulation",
+                  file=sys.stderr)
+    raise last_err
+
+
+if __name__ == "__main__":
+    main()

@@ -50,18 +50,61 @@ def load_torch_checkpoint(path: str, prefer_ema: bool = True) -> Dict[str, np.nd
 
 _BLOCK_RE = re.compile(r"^blocks\.(\d+)\.(.+)$")
 
-# torch name suffix -> (flax path inside the block, transpose?)
+
+def _t(arr, heads):  # torch linear weight -> flax dense kernel
+    return arr.T
+
+
+def _id(arr, heads):
+    return arr
+
+
+def _qkv_w(arr, heads):
+    # (3D, D) rows ordered (3, H, hd) -> kernel (D, 3, H, hd)
+    three_d, d = arr.shape
+    return arr.T.reshape(d, 3, heads, three_d // 3 // heads)
+
+
+def _qkv_b(arr, heads):
+    return arr.reshape(3, heads, -1)
+
+
+def _proj_w(arr, heads):
+    # (D_out, D_in) with D_in = H*hd -> kernel (H, hd, D_out)
+    d_out, d_in = arr.shape
+    return arr.T.reshape(heads, d_in // heads, d_out)
+
+
+def _inv_qkv_w(arr, heads):
+    d = arr.shape[0]
+    return arr.reshape(d, -1).T
+
+
+def _inv_qkv_b(arr, heads):
+    return arr.reshape(-1)
+
+
+def _inv_proj_w(arr, heads):
+    h, hd, d_out = arr.shape
+    return arr.reshape(h * hd, d_out).T
+
+
+def _inv_t(arr, heads):
+    return arr.T
+
+
+# torch name suffix -> (flax path inside the block, import fn, export fn)
 _BLOCK_MAP = {
-    "adaLN_modulation.1.weight": ("adaLN_modulation/kernel", True),
-    "adaLN_modulation.1.bias": ("adaLN_modulation/bias", False),
-    "attn.qkv.weight": ("attn/qkv/kernel", True),
-    "attn.qkv.bias": ("attn/qkv/bias", False),
-    "attn.proj.weight": ("attn/proj/kernel", True),
-    "attn.proj.bias": ("attn/proj/bias", False),
-    "mlp.fc1.weight": ("mlp/fc1/kernel", True),
-    "mlp.fc1.bias": ("mlp/fc1/bias", False),
-    "mlp.fc2.weight": ("mlp/fc2/kernel", True),
-    "mlp.fc2.bias": ("mlp/fc2/bias", False),
+    "adaLN_modulation.1.weight": ("adaLN_modulation/kernel", _t, _inv_t),
+    "adaLN_modulation.1.bias": ("adaLN_modulation/bias", _id, _id),
+    "attn.qkv.weight": ("attn/qkv/kernel", _qkv_w, _inv_qkv_w),
+    "attn.qkv.bias": ("attn/qkv/bias", _qkv_b, _inv_qkv_b),
+    "attn.proj.weight": ("attn/proj/kernel", _proj_w, _inv_proj_w),
+    "attn.proj.bias": ("attn/proj/bias", _id, _id),
+    "mlp.fc1.weight": ("mlp/fc1/kernel", _t, _inv_t),
+    "mlp.fc1.bias": ("mlp/fc1/bias", _id, _id),
+    "mlp.fc2.weight": ("mlp/fc2/kernel", _t, _inv_t),
+    "mlp.fc2.bias": ("mlp/fc2/bias", _id, _id),
 }
 
 _TOP_MAP = {
@@ -86,7 +129,7 @@ def _set_path(tree: dict, path: str, value):
     node[keys[-1]] = value
 
 
-def state_dict_to_flax(sd: Dict[str, np.ndarray], depth: int) -> dict:
+def state_dict_to_flax(sd: Dict[str, np.ndarray], depth: int, num_heads: int) -> dict:
     """Flat torch state dict -> {"params": flax tree} with stacked blocks."""
     tree: dict = {}
     blocks: Dict[str, list] = {}
@@ -99,9 +142,9 @@ def state_dict_to_flax(sd: Dict[str, np.ndarray], depth: int) -> dict:
             idx, suffix = int(m.group(1)), m.group(2)
             if suffix not in _BLOCK_MAP:
                 raise KeyError(f"unknown block param: {name}")
-            fpath, transpose = _BLOCK_MAP[suffix]
+            fpath, imp, _ = _BLOCK_MAP[suffix]
             blocks.setdefault(fpath, [None] * depth)
-            blocks[fpath][idx] = arr.T if transpose else arr
+            blocks[fpath][idx] = imp(arr, num_heads)
         elif name == "x_embedder.proj.weight":
             # (D, C, p, p) conv -> (C*p*p, D) dense kernel
             d = arr.shape[0]
@@ -144,15 +187,15 @@ def flax_to_state_dict(params: dict, patch_size: int, in_channels: int = 4,
 
     block = p["blocks"]["block"]
     depth = np.asarray(block["attn"]["qkv"]["kernel"]).shape[0]
-    for suffix, (fpath, transpose) in _BLOCK_MAP.items():
+    num_heads = np.asarray(block["attn"]["qkv"]["kernel"]).shape[3]
+    for suffix, (fpath, _, exp) in _BLOCK_MAP.items():
         keys = fpath.split("/")
         node = block
         for k in keys:
             node = node[k]
         stacked = np.asarray(node)
         for i in range(depth):
-            arr = stacked[i]
-            sd[f"blocks.{i}.{suffix}"] = arr.T if transpose else arr
+            sd[f"blocks.{i}.{suffix}"] = exp(stacked[i], num_heads)
 
     if input_size is not None:
         from ..models.pos_embed import get_2d_sincos_pos_embed
@@ -168,7 +211,7 @@ def import_dit_checkpoint(path: str, model, prefer_ema: bool = True) -> dict:
     import jax
 
     sd = load_torch_checkpoint(path, prefer_ema=prefer_ema)
-    params = state_dict_to_flax(sd, depth=model.depth)
+    params = state_dict_to_flax(sd, depth=model.depth, num_heads=model.num_heads)
     params = jax.tree.map(lambda a: a.astype(np.float32), params)
 
     # validate shapes against the model's own init structure

@@ -152,7 +152,13 @@ class LabelEmbedder(nn.Module):
 
 class Attention(nn.Module):
     """Multi-head self-attention with timm-compatible fused qkv
-    (timm semantics as used at reference models_original.py:108)."""
+    (timm semantics as used at reference models_original.py:108).
+
+    Kernels keep explicit head axes — qkv: (D, 3, H, hd), proj: (H, hd, D) —
+    so tensor parallelism shards the H axis directly (no fused-dim reshape
+    for GSPMD to untangle). Numerically identical to the fused layout; the
+    checkpoint importer reshapes torch's (3D, D) weights into these axes.
+    """
 
     hidden_size: int
     num_heads: int
@@ -166,14 +172,14 @@ class Attention(nn.Module):
         H = self.num_heads
         assert D % H == 0
         hd = D // H
-        qkv = nn.Dense(3 * D, use_bias=self.qkv_bias, kernel_init=xavier_uniform,
-                       bias_init=zeros_init, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, H, hd)          # timm's (3, H, hd) split order
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        qkv = nn.DenseGeneral(
+            features=(3, H, hd), use_bias=self.qkv_bias, kernel_init=xavier_uniform,
+            bias_init=zeros_init, dtype=self.dtype, name="qkv")(x)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, H, hd)
         out = dot_product_attention(q, k, v, backend=self.attn_backend)
-        out = out.reshape(B, N, D)
-        out = nn.Dense(D, kernel_init=xavier_uniform, bias_init=zeros_init,
-                       dtype=self.dtype, name="proj")(out)
+        out = nn.DenseGeneral(
+            features=D, axis=(-2, -1), kernel_init=xavier_uniform,
+            bias_init=zeros_init, dtype=self.dtype, name="proj")(out)
         return out
 
 

@@ -1,0 +1,170 @@
+"""Training step: loss + grads + AdamW + EMA, one jitted program.
+
+Capability parity with the reference trainer loop
+(`/root/reference/train.py:192-239`): uniform timestep draw (:200),
+`training_losses(...).mean()` (:203-204), AdamW lr=1e-4 wd=0 (:161), EMA
+decay 0.9999 via in-place lerp (:40-51), loss averaged across processes
+(:219-220). TPU-first: the whole step — including the EMA lerp and optimizer
+update — is a single XLA program with donated state; under a data-sharded
+batch the gradient all-reduce is emitted by GSPMD (no DDP wrapper), and the
+ring-2 ablation ladder (grad ckpt / AMP / features) is flags on the model and
+data path rather than script forks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..diffusion.gaussian import training_losses
+from ..diffusion.schedule import DiffusionSchedule
+from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
+
+__all__ = [
+    "TrainState",
+    "create_train_state",
+    "update_ema",
+    "make_train_step",
+    "make_sharded_train_step",
+]
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    ema: Any
+    opt_state: Any
+
+
+def update_ema(ema, params, decay: float = 0.9999):
+    """ema <- decay*ema + (1-decay)*params (reference train.py:40-51)."""
+    return jax.tree.map(lambda e, p: e * decay + (1.0 - decay) * p, ema, params)
+
+
+def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.0,
+                       optimizer: Optional[optax.GradientTransformation] = None):
+    """Init params + AdamW + warm-started EMA copy (reference train.py:147-179)."""
+    x = jnp.zeros((1, model.in_channels, model.input_size, model.input_size))
+    params = model.init({"params": rng}, x, jnp.zeros((1,), jnp.int32),
+                        jnp.zeros((1,), jnp.int32))
+    tx = optimizer if optimizer is not None else optax.adamw(
+        lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    # EMA warm start = exact copy (reference train.py:179, decay=0 update)
+    ema = jax.tree.map(jnp.copy, params)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, ema=ema,
+                      opt_state=opt_state), tx
+
+
+def make_train_step(
+    model,
+    schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    *,
+    ema_decay: float = 0.9999,
+    grad_accum: int = 1,
+) -> Callable:
+    """Build `train_step(state, batch, rng) -> (state, metrics)`.
+
+    batch: {"x": (B, C, H, W) latents, "y": (B,) int labels}. With
+    `grad_accum > 1` the batch is split into microbatches and gradients are
+    averaged inside the same XLA program (a lax.scan over chunks) — one
+    optimizer step per global batch, for memory headroom.
+    """
+
+    def loss_for(params, x, y, t, noise, drop_rng):
+        def model_fn(x_t, t_model):
+            return model.apply(params, x_t, t_model, y, train=True,
+                               rngs={"label_drop": drop_rng})
+        terms = training_losses(schedule, model_fn, x, t, noise)
+        return terms["loss"].mean(), {k: v.mean() for k, v in terms.items()}
+
+    def micro_grads(params, x, y, rng):
+        rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
+        B = x.shape[0]
+        t = jax.random.randint(rng_t, (B,), 0, schedule.num_timesteps)
+        noise = jax.random.normal(rng_noise, x.shape, x.dtype)
+        (loss, metrics), grads = jax.value_and_grad(loss_for, has_aux=True)(
+            params, x, y, t, noise, rng_drop)
+        return grads, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        x, y = batch["x"], batch["y"]
+        if grad_accum == 1:
+            grads, metrics = micro_grads(state.params, x, y, rng)
+        else:
+            B = x.shape[0]
+            assert B % grad_accum == 0
+            mb = B // grad_accum
+            xs = x.reshape(grad_accum, mb, *x.shape[1:])
+            ys = y.reshape(grad_accum, mb, *y.shape[1:])
+
+            def body(carry, inp):
+                g_acc, i = carry
+                xi, yi = inp
+                g, m = micro_grads(state.params, xi, yi, jax.random.fold_in(rng, i))
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, i + 1), m
+
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            (gsum, _), ms = jax.lax.scan(body, (zero, 0), (xs, ys))
+            grads = jax.tree.map(lambda g: g / grad_accum, gsum)
+            metrics = {k: v.mean() for k, v in ms.items()}
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema = update_ema(state.ema, params, ema_decay)
+        new_state = TrainState(step=state.step + 1, params=params, ema=ema,
+                               opt_state=opt_state)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
+                            fsdp: bool = False, ema_decay: float = 0.9999,
+                            grad_accum: int = 1, example_state: TrainState = None):
+    """jit the train step over a mesh: batch sharded on 'data', state sharded
+    per the DiT param rules, state buffers donated."""
+    step_fn = make_train_step(model, schedule, tx, ema_decay=ema_decay,
+                              grad_accum=grad_accum)
+    assert example_state is not None, "need an example state for sharding layout"
+
+    rep = replicated_sharding(mesh)
+    pshard = param_shardings(example_state.params, mesh, tp=tp, fsdp=fsdp)
+
+    def opt_shardings(node):
+        # adam m/v mirror the param tree: shard them like the params;
+        # everything else (step counts, empty states) replicates
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=rep, mu=pshard, nu=pshard)
+        return jax.tree.map(lambda _: rep, node)
+
+    st_sh = TrainState(
+        step=rep,
+        params=pshard,
+        ema=param_shardings(example_state.ema, mesh, tp=tp, fsdp=fsdp),
+        opt_state=jax.tree.map(
+            opt_shardings, example_state.opt_state,
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState)),
+    )
+
+    data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
+    rep = replicated_sharding(mesh)
+
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(st_sh, data_sh, rep),
+        out_shardings=(st_sh, None),
+        donate_argnums=(0,),
+    )
+    return jitted, st_sh

@@ -132,7 +132,7 @@ def test_import_forward_parity():
     """Imported weights must reproduce the torch oracle to fp32 tolerance
     (the BASELINE fidelity pin: identical latents given identical inputs)."""
     sd = make_state_dict()
-    params = state_dict_to_flax(sd, depth=DEPTH)
+    params = state_dict_to_flax(sd, depth=DEPTH, num_heads=HEADS)
     m = flax_model()
     rs = np.random.RandomState(1)
     x = rs.randn(3, C, IMG, IMG).astype(np.float32)
@@ -147,7 +147,7 @@ def test_import_forward_parity():
 
 def test_roundtrip_export():
     sd = make_state_dict()
-    params = state_dict_to_flax(sd, depth=DEPTH)
+    params = state_dict_to_flax(sd, depth=DEPTH, num_heads=HEADS)
     sd2 = flax_to_state_dict(params, patch_size=P, in_channels=C, input_size=IMG)
     assert set(sd2) == set(sd)
     for k in sd:
@@ -169,7 +169,7 @@ def test_unknown_key_rejected():
     sd = make_state_dict()
     sd["blocks.0.attn.qkv_extra.weight"] = np.zeros((1,))
     with pytest.raises(KeyError):
-        state_dict_to_flax(sd, depth=DEPTH)
+        state_dict_to_flax(sd, depth=DEPTH, num_heads=HEADS)
 
 
 def test_ema_preference_and_wrapped_checkpoints(tmp_path):

@@ -1,0 +1,165 @@
+"""Train a DiT on pre-extracted latent features — TPU-native trainer CLI.
+
+Flag-compatible with the reference trainer (`/root/reference/train.py:248-264`
+argparse surface; loop semantics :123-245): same defaults, same log-line
+format ("Train Loss: ..., Train Steps/Sec: ..."), checkpoints every
+--ckpt-every steps. The reference's five train_options/ script forks are
+flags here (SURVEY.md §2.2): --no-remat (grad ckpt off), --fp32 (AMP off),
+--synthetic-data (features path substitute); --tp/--fsdp add mesh parallelism
+the reference never had, and --resume adds the missing resume path.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fast_dit_tpu.ckpt import CheckpointManager, flax_to_state_dict
+from fast_dit_tpu.data import FeatureDataset, feature_batches, synthetic_features
+from fast_dit_tpu.diffusion import create_diffusion
+from fast_dit_tpu.models import DiT_models
+from fast_dit_tpu.parallel import batch_sharding, create_mesh
+from fast_dit_tpu.train import create_train_state, make_sharded_train_step
+from fast_dit_tpu.utils import create_logger, make_experiment_dir
+
+
+def main(args):
+    is_main = jax.process_index() == 0
+    experiment_dir = make_experiment_dir(args.results_dir, args.model) if is_main else None
+    logger = create_logger(experiment_dir, is_main=is_main)
+    logger.info(f"Experiment directory created at {experiment_dir}")
+
+    assert args.image_size % 8 == 0, "Image size must be divisible by 8 (for the VAE encoder)."
+    latent_size = args.image_size // 8
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
+    model = DiT_models[args.model](
+        input_size=latent_size, num_classes=args.num_classes,
+        dtype=dtype, remat=not args.no_remat, attn_backend=args.attn_backend)
+
+    mesh = create_mesh(model=args.tp)
+    diffusion = create_diffusion(timestep_respacing="")  # 1000-step training process
+    state, tx = create_train_state(model, jax.random.PRNGKey(args.global_seed),
+                                   lr=args.lr)
+    n_params = sum(p.size for p in jax.tree.leaves(state.params))
+    logger.info(f"DiT Parameters: {n_params:,}")
+
+    train_step, st_sh = make_sharded_train_step(
+        model, diffusion.schedule, tx, mesh, tp=args.tp > 1, fsdp=args.fsdp,
+        grad_accum=args.grad_accum, example_state=state)
+    state = jax.device_put(state, st_sh)
+    data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
+
+    ckpt_mgr = CheckpointManager(f"{experiment_dir}/checkpoints") if is_main else None
+    if args.resume and ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
+        restored = ckpt_mgr.restore(template=jax.device_get(state))
+        state = jax.device_put(restored, st_sh)
+        logger.info(f"Resumed from checkpoint at step {int(state.step)}")
+
+    if args.synthetic_data:
+        epochs_iter = [synthetic_features(
+            args.global_batch_size, latent_size=latent_size,
+            num_classes=args.num_classes, seed=args.global_seed)]
+        logger.info("Using synthetic latent features")
+    else:
+        dataset = FeatureDataset(f"{args.feature_path}/imagenet{args.image_size}_features",
+                                 f"{args.feature_path}/imagenet{args.image_size}_labels")
+        logger.info(f"Dataset contains {len(dataset):,} features "
+                    f"({args.feature_path})")
+        epochs_iter = [
+            feature_batches(dataset, args.global_batch_size, seed=args.global_seed + e,
+                            process_index=jax.process_index(),
+                            process_count=jax.process_count())
+            for e in range(args.epochs)
+        ]
+
+    rng = jax.random.PRNGKey(args.global_seed)
+    train_steps = int(state.step)
+    log_steps, running_loss = 0, 0.0
+    start_time = time.time()
+    logger.info(f"Training for {args.epochs} epochs...")
+
+    done = False
+    for epoch, batches in enumerate(epochs_iter):
+        logger.info(f"Beginning epoch {epoch}...")
+        for batch in batches:
+            batch = jax.device_put(batch, data_sh)
+            state, metrics = train_step(state, batch, rng)
+            running_loss += metrics["loss"]
+            train_steps += 1
+            log_steps += 1
+
+            if train_steps % args.log_every == 0:
+                jax.block_until_ready(metrics["loss"])  # reference: cuda.synchronize
+                end_time = time.time()
+                steps_per_sec = log_steps / (end_time - start_time)
+                avg_loss = float(running_loss) / log_steps
+                logger.info(f"(step={train_steps:07d}) Train Loss: {avg_loss:.4f}, "
+                            f"Train Steps/Sec: {steps_per_sec:.2f}")
+                running_loss, log_steps = 0.0, 0
+                start_time = time.time()
+
+            if train_steps % args.ckpt_every == 0 and train_steps > 0 and ckpt_mgr:
+                ckpt_mgr.save(train_steps, jax.device_get(state))
+                logger.info(f"Saved checkpoint at step {train_steps} "
+                            f"to {experiment_dir}/checkpoints")
+
+            if args.max_steps and train_steps >= args.max_steps:
+                done = True
+                break
+        if done:
+            break
+
+    if ckpt_mgr:
+        ckpt_mgr.save(train_steps, jax.device_get(state), force=True)
+        ckpt_mgr.wait_until_finished()
+        if args.export_pt:
+            import torch
+            sd = flax_to_state_dict(jax.device_get(state.ema),
+                                    patch_size=model.patch_size,
+                                    in_channels=model.in_channels,
+                                    input_size=latent_size)
+            torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+                       f"{experiment_dir}/checkpoints/{train_steps:07d}-ema.pt")
+            logger.info(f"Exported torch-compatible EMA checkpoint at step {train_steps}")
+        ckpt_mgr.close()
+    logger.info("Done!")
+
+
+def parse_args():
+    # reference-compatible flags (train.py:248-264)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--feature-path", type=str, default="features")
+    parser.add_argument("--results-dir", type=str, default="results")
+    parser.add_argument("--model", type=str, choices=list(DiT_models.keys()),
+                        default="DiT-XL/2")
+    parser.add_argument("--image-size", type=int, choices=[256, 512], default=256)
+    parser.add_argument("--num-classes", type=int, default=1000)
+    parser.add_argument("--epochs", type=int, default=1400)
+    parser.add_argument("--global-batch-size", type=int, default=256)
+    parser.add_argument("--global-seed", type=int, default=0)
+    parser.add_argument("--vae", type=str, choices=["ema", "mse"], default="ema")
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--log-every", type=int, default=100)
+    parser.add_argument("--ckpt-every", type=int, default=50_000)
+    # TPU-native extensions (ring-2 ablations as flags + mesh parallelism)
+    parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--tp", type=int, default=1, help="tensor-parallel axis size")
+    parser.add_argument("--fsdp", action="store_true", help="shard params over data axis")
+    parser.add_argument("--grad-accum", type=int, default=1)
+    parser.add_argument("--fp32", action="store_true", help="disable bf16 activations")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="disable per-block gradient checkpointing")
+    parser.add_argument("--attn-backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas", "einsum"])
+    parser.add_argument("--synthetic-data", action="store_true")
+    parser.add_argument("--max-steps", type=int, default=0)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--export-pt", action="store_true",
+                        help="also export a torch-compatible EMA .pt at the end")
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse_args())
