@@ -31,7 +31,10 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
         input_size=latent, dtype=jnp.bfloat16, remat=True,
         attn_backend=attn_backend)
     schedule = create_diffusion("").schedule
-    state, tx = create_train_state(model, jax.random.PRNGKey(0))
+    # bf16 params + fp32 master weights: the config that fits XL/2 Adam
+    # training in 16 GB HBM (equivalent of the reference's AMP fast path)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   mixed_precision=True)
     step = jax.jit(
         make_train_step(model, schedule, tx, grad_accum=accum),
         donate_argnums=(0,),
@@ -86,7 +89,11 @@ def main():
             return
         except Exception as e:  # OOM -> retry with gradient accumulation
             last_err = e
-            if "RESOURCE_EXHAUSTED" not in str(e) and "Out of memory" not in str(e):
+            import gc
+            gc.collect()  # drop previous attempt's device buffers
+            msg = str(e)
+            if not any(s in msg for s in ("RESOURCE_EXHAUSTED", "Out of memory",
+                                          "Ran out of memory", "hbm capacity")):
                 raise
             print(f"# accum={accum} OOM, retrying with more accumulation",
                   file=sys.stderr)

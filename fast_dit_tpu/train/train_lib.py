@@ -24,6 +24,7 @@ from flax import struct
 from ..diffusion.gaussian import training_losses
 from ..diffusion.schedule import DiffusionSchedule
 from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
+from .mixed_precision import MasterWeightsState, get_master_params, masterize
 
 __all__ = [
     "TrainState",
@@ -48,16 +49,27 @@ def update_ema(ema, params, decay: float = 0.9999):
 
 
 def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.0,
-                       optimizer: Optional[optax.GradientTransformation] = None):
-    """Init params + AdamW + warm-started EMA copy (reference train.py:147-179)."""
+                       optimizer: Optional[optax.GradientTransformation] = None,
+                       mixed_precision: bool = False,
+                       mu_dtype=None):
+    """Init params + AdamW + warm-started EMA copy (reference train.py:147-179).
+
+    With `mixed_precision`, model params are stored bf16 and the optimizer is
+    wrapped with fp32 master weights (see mixed_precision.py); the EMA then
+    tracks the fp32 master, as torch AMP's fp32 EMA does.
+    """
     x = jnp.zeros((1, model.in_channels, model.input_size, model.input_size))
     params = model.init({"params": rng}, x, jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1,), jnp.int32))
     tx = optimizer if optimizer is not None else optax.adamw(
-        lr, weight_decay=weight_decay)
+        lr, weight_decay=weight_decay, mu_dtype=mu_dtype)
+    if mixed_precision:
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+        tx = masterize(tx)
     opt_state = tx.init(params)
     # EMA warm start = exact copy (reference train.py:179, decay=0 update)
-    ema = jax.tree.map(jnp.copy, params)
+    master = get_master_params(opt_state)
+    ema = jax.tree.map(jnp.copy, master if master is not None else params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, ema=ema,
                       opt_state=opt_state), tx
 
@@ -120,7 +132,9 @@ def make_train_step(
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = update_ema(state.ema, params, ema_decay)
+        master = get_master_params(opt_state)
+        ema = update_ema(state.ema, master if master is not None else params,
+                         ema_decay)
         new_state = TrainState(step=state.step + 1, params=params, ema=ema,
                                opt_state=opt_state)
         metrics = dict(metrics)
@@ -143,10 +157,16 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
     pshard = param_shardings(example_state.params, mesh, tp=tp, fsdp=fsdp)
 
     def opt_shardings(node):
-        # adam m/v mirror the param tree: shard them like the params;
+        # adam m/v and fp32 masters mirror the param tree: shard like params;
         # everything else (step counts, empty states) replicates
         if isinstance(node, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(count=rep, mu=pshard, nu=pshard)
+        if isinstance(node, MasterWeightsState):
+            return MasterWeightsState(
+                master=pshard,
+                inner=jax.tree.map(
+                    opt_shardings, node.inner,
+                    is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState)))
         return jax.tree.map(lambda _: rep, node)
 
     st_sh = TrainState(
@@ -155,7 +175,8 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
         ema=param_shardings(example_state.ema, mesh, tp=tp, fsdp=fsdp),
         opt_state=jax.tree.map(
             opt_shardings, example_state.opt_state,
-            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState)),
+            is_leaf=lambda n: isinstance(
+                n, (optax.ScaleByAdamState, MasterWeightsState))),
     )
 
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}

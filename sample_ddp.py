@@ -1,0 +1,182 @@
+"""Large-scale parallel sampling for FID evaluation — the ADM-npz harness.
+
+Flag- and output-compatible with the reference
+(`/root/reference/sample_ddp.py:149-166` flags; :45-146 flow): per-process
+seed = global_seed * world + rank, ceil-to-divisible total, CFG only when
+cfg>1.0, uint8 quantize `clamp(127.5x + 128)`, rank-strided `{index:06d}.png`
+filenames, final `{num}x H x W x 3` uint8 `.npz` (key `arr_0`) for the
+OpenAI/ADM evaluation suite.
+
+TPU-native: this is a pure-throughput workload (no inter-chip traffic,
+SURVEY.md §3.4) — each host process generates its stride independently; the
+jitted program fuses the 250-step sampler + CFG + VAE decode + uint8
+quantization, and PNG encoding runs on a thread pool overlapped with device
+compute (the reference serializes 50K PNG writes on the main thread).
+"""
+
+import argparse
+import math
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+from tqdm import tqdm
+
+from fast_dit_tpu.ckpt import find_model, state_dict_to_flax
+from fast_dit_tpu.ckpt.vae_import import import_vae_checkpoint
+from fast_dit_tpu.diffusion import create_diffusion
+from fast_dit_tpu.models import DiT_models
+from fast_dit_tpu.models.vae import AutoencoderKL, VAE_SCALE
+
+
+def create_npz_from_sample_folder(sample_dir, num=50_000):
+    """Folder of {i:06d}.png -> one npz with arr_0 (reference sample_ddp.py:28-42)."""
+    samples = []
+    for i in tqdm(range(num), desc="Building .npz file from samples"):
+        sample_pil = Image.open(f"{sample_dir}/{i:06d}.png")
+        samples.append(np.asarray(sample_pil).astype(np.uint8))
+    samples = np.stack(samples)
+    assert samples.shape == (num, samples.shape[1], samples.shape[2], 3)
+    npz_path = f"{sample_dir}.npz"
+    np.savez(npz_path, arr_0=samples)
+    print(f"Saved .npz file to {npz_path} [shape={samples.shape}].")
+    return npz_path
+
+
+def main(args):
+    rank = jax.process_index()
+    world = jax.process_count()
+    seed = args.global_seed * world + rank
+    print(f"Starting rank={rank}, seed={seed}, world_size={world}.")
+
+    if args.ckpt is None:
+        assert args.model == "DiT-XL/2", "Only DiT-XL/2 models are available for auto-download."
+        assert args.image_size in [256, 512]
+        assert args.num_classes == 1000
+
+    latent_size = args.image_size // 8
+    model = DiT_models[args.model](input_size=latent_size,
+                                   num_classes=args.num_classes,
+                                   attn_backend=args.attn_backend)
+    ckpt_path = args.ckpt or f"DiT-XL-2-{args.image_size}x{args.image_size}.pt"
+    if ckpt_path == "random":
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, 4, latent_size, latent_size)),
+                            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    else:
+        params = jax.tree.map(jnp.asarray, state_dict_to_flax(
+            find_model(ckpt_path), model.depth, model.num_heads))
+    diffusion = create_diffusion(str(args.num_sampling_steps))
+
+    vae_path = (args.vae_ckpt or os.environ.get("SD_VAE_PATH")
+                or f"pretrained_models/sd-vae-ft-{args.vae}")
+    vae = AutoencoderKL()
+    vae_params = import_vae_checkpoint(vae_path, vae) if os.path.exists(vae_path) else None
+    if vae_params is None:
+        print("WARNING: no SD-VAE weights found; saving latent-preview PNGs "
+              "(set --vae-ckpt or SD_VAE_PATH for real images)")
+
+    assert args.cfg_scale >= 1.0, "In almost all cases, cfg_scale be >= 1.0"
+    using_cfg = args.cfg_scale > 1.0
+
+    model_string_name = args.model.replace("/", "-")
+    ckpt_string_name = os.path.basename(args.ckpt).replace(".pt", "") if args.ckpt else "pretrained"
+    folder_name = (f"{model_string_name}-{ckpt_string_name}-size-{args.image_size}-"
+                   f"vae-{args.vae}-cfg-{args.cfg_scale}-seed-{args.global_seed}")
+    sample_folder_dir = f"{args.sample_dir}/{folder_name}"
+    if rank == 0:
+        os.makedirs(sample_folder_dir, exist_ok=True)
+        print(f"Saving .png samples at {sample_folder_dir}")
+    if world > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("mkdir")
+
+    n = args.per_proc_batch_size
+    global_batch_size = n * world
+    total_samples = int(math.ceil(args.num_fid_samples / global_batch_size) * global_batch_size)
+    if rank == 0:
+        print(f"Total number of images that will be sampled: {total_samples}")
+    samples_needed_this_proc = total_samples // world
+    iterations = samples_needed_this_proc // n
+
+    @jax.jit
+    def generate(rng):
+        z = jax.random.normal(jax.random.fold_in(rng, 0),
+                              (n, model.in_channels, latent_size, latent_size))
+        y = jax.random.randint(jax.random.fold_in(rng, 1), (n,), 0, args.num_classes)
+        if using_cfg:
+            zz = jnp.concatenate([z, z], 0)
+            yy = jnp.concatenate([y, jnp.full((n,), 1000)], 0)
+            model_fn = lambda x, t: model.apply(
+                params, x, t, yy, method=model.forward_with_cfg,
+                cfg_scale=args.cfg_scale)
+            samples = diffusion.p_sample_loop(
+                model_fn, zz.shape, noise=zz, rng=jax.random.fold_in(rng, 2),
+                clip_denoised=False)
+            samples = samples[:n]  # remove null-class half
+        else:
+            model_fn = lambda x, t: model.apply(params, x, t, y)
+            samples = diffusion.p_sample_loop(
+                model_fn, z.shape, noise=z, rng=jax.random.fold_in(rng, 2),
+                clip_denoised=False)
+        if vae_params is not None:
+            samples = vae.apply(vae_params, samples / VAE_SCALE, method=vae.decode)
+        else:
+            samples = samples[:, :3]
+        # uint8 quantization exactly as reference sample_ddp.py:132
+        samples = jnp.clip(127.5 * samples + 128.0, 0, 255)
+        return jnp.transpose(samples, (0, 2, 3, 1)).astype(jnp.uint8)
+
+    rng = jax.random.PRNGKey(seed)
+    pbar = tqdm(range(iterations)) if rank == 0 else range(iterations)
+    total = 0
+    with ThreadPoolExecutor(max_workers=args.io_threads) as pool:
+        futures = []
+        for it in pbar:
+            samples = np.asarray(generate(jax.random.fold_in(rng, it)))
+            for i, sample in enumerate(samples):
+                index = i * world + rank + total
+                futures.append(pool.submit(
+                    lambda s=sample, p=f"{sample_folder_dir}/{index:06d}.png":
+                    Image.fromarray(s).save(p)))
+            total += global_batch_size
+        for f in futures:
+            f.result()
+
+    if world > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("samples_done")
+    if rank == 0:
+        create_npz_from_sample_folder(sample_folder_dir, args.num_fid_samples)
+        print("Done.")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    # reference-compatible flags (sample_ddp.py:149-166)
+    parser.add_argument("--model", type=str, choices=list(DiT_models.keys()),
+                        default="DiT-XL/2")
+    parser.add_argument("--vae", type=str, choices=["ema", "mse"], default="ema")
+    parser.add_argument("--sample-dir", type=str, default="samples")
+    parser.add_argument("--per-proc-batch-size", type=int, default=32)
+    parser.add_argument("--num-fid-samples", type=int, default=50_000)
+    parser.add_argument("--image-size", type=int, choices=[256, 512], default=256)
+    parser.add_argument("--num-classes", type=int, default=1000)
+    parser.add_argument("--cfg-scale", type=float, default=1.5)
+    parser.add_argument("--num-sampling-steps", type=int, default=250)
+    parser.add_argument("--global-seed", type=int, default=0)
+    parser.add_argument("--tf32", action=argparse.BooleanOptionalAction, default=True,
+                        help="kept for flag parity; TPU numerics are controlled "
+                             "by dtype/matmul-precision flags")
+    parser.add_argument("--ckpt", type=str, default=None,
+                        help="Optional DiT checkpoint path (default: auto-download "
+                             "pretrained DiT-XL/2); 'random' for random init")
+    # TPU-native extensions
+    parser.add_argument("--vae-ckpt", type=str, default=None)
+    parser.add_argument("--attn-backend", type=str, default="auto",
+                        choices=["auto", "xla", "pallas", "einsum"])
+    parser.add_argument("--io-threads", type=int, default=16)
+    main(parser.parse_args())

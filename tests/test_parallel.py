@@ -170,3 +170,47 @@ def test_grad_accum_runs():
     state, metrics = step(state, make_batch(B=16), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_mixed_precision_master_weights():
+    """bf16 params + fp32 master: params track master, EMA is fp32, loss
+    decreases; sharded variant compiles and matches structure."""
+    from fast_dit_tpu.train import get_master_params
+    model = tiny_model(dtype=jnp.bfloat16)
+    schedule = sched()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), lr=2e-3,
+                                   mixed_precision=True)
+    assert all(p.dtype == jnp.bfloat16 for p in jax.tree.leaves(state.params))
+    master = get_master_params(state.opt_state)
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(master))
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.ema))
+
+    step = jax.jit(make_train_step(model, schedule, tx))
+    batch = make_batch(B=8)
+    first = None
+    for _ in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        if first is None:
+            first = float(metrics["mse"])
+    assert float(metrics["mse"]) < first * 0.95
+    # params == cast(master) up to one bf16 ulp (p + (cast(m) - p) re-rounds)
+    master = get_master_params(state.opt_state)
+    for p, m in zip(jax.tree.leaves(state.params), jax.tree.leaves(master)):
+        np.testing.assert_allclose(
+            np.asarray(p, np.float32), np.asarray(m.astype(jnp.bfloat16), np.float32),
+            rtol=0.02, atol=1e-5)
+
+
+def test_mixed_precision_sharded():
+    model = tiny_model(dtype=jnp.bfloat16)
+    mesh = create_mesh(model=2)
+    schedule = sched()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   mixed_precision=True)
+    jitted, st_sh = make_sharded_train_step(
+        model, schedule, tx, mesh, tp=True, fsdp=True, example_state=state)
+    state = jax.device_put(state, st_sh)
+    batch = jax.device_put(make_batch(),
+                           {"x": batch_sharding(mesh), "y": batch_sharding(mesh)})
+    state, metrics = jitted(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
