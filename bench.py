@@ -31,10 +31,12 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
         input_size=latent, dtype=jnp.bfloat16, remat=True,
         attn_backend=attn_backend)
     schedule = create_diffusion("").schedule
-    # bf16 params + fp32 master weights: the config that fits XL/2 Adam
-    # training in 16 GB HBM (equivalent of the reference's AMP fast path)
+    # bf16 params + fp32 master weights + bf16 Adam first moment: the config
+    # that fits XL/2 Adam training in 16 GB HBM (the reference's AMP fast
+    # path equivalent; fp32-Adam-state XL/2 needs ~17.2 GB)
     state, tx = create_train_state(model, jax.random.PRNGKey(0),
-                                   mixed_precision=True)
+                                   mixed_precision=True,
+                                   mu_dtype=jnp.bfloat16)
     step = jax.jit(
         make_train_step(model, schedule, tx, grad_accum=accum),
         donate_argnums=(0,),

@@ -24,6 +24,7 @@ from flax import struct
 from ..diffusion.gaussian import training_losses
 from ..diffusion.schedule import DiffusionSchedule
 from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
+from ..diffusion.timestep_samplers import sample_timesteps, update_with_losses
 from .mixed_precision import MasterWeightsState, get_master_params, masterize
 
 __all__ = [
@@ -41,6 +42,9 @@ class TrainState:
     params: Any
     ema: Any
     opt_state: Any
+    # optional importance-sampling state (loss-second-moment resampler,
+    # reference timestep_sampler.py:120-150); None = uniform timesteps
+    sampler_state: Any = None
 
 
 def update_ema(ema, params, decay: float = 0.9999):
@@ -51,7 +55,8 @@ def update_ema(ema, params, decay: float = 0.9999):
 def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.0,
                        optimizer: Optional[optax.GradientTransformation] = None,
                        mixed_precision: bool = False,
-                       mu_dtype=None):
+                       mu_dtype=None,
+                       sampler_state=None):
     """Init params + AdamW + warm-started EMA copy (reference train.py:147-179).
 
     With `mixed_precision`, model params are stored bf16 and the optimizer is
@@ -71,7 +76,7 @@ def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.
     master = get_master_params(opt_state)
     ema = jax.tree.map(jnp.copy, master if master is not None else params)
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, ema=ema,
-                      opt_state=opt_state), tx
+                      opt_state=opt_state, sampler_state=sampler_state), tx
 
 
 def make_train_step(
@@ -90,28 +95,41 @@ def make_train_step(
     optimizer step per global batch, for memory headroom.
     """
 
-    def loss_for(params, x, y, t, noise, drop_rng):
+    def loss_for(params, x, y, t, noise, weights, drop_rng):
         def model_fn(x_t, t_model):
             return model.apply(params, x_t, t_model, y, train=True,
                                rngs={"label_drop": drop_rng})
         terms = training_losses(schedule, model_fn, x, t, noise)
-        return terms["loss"].mean(), {k: v.mean() for k, v in terms.items()}
+        per_example = terms["loss"]
+        loss = (weights * per_example).mean()
+        metrics = {k: v.mean() for k, v in terms.items()}
+        return loss, (metrics, per_example)
 
-    def micro_grads(params, x, y, rng):
+    def micro_grads(params, sampler_state, x, y, rng):
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
         B = x.shape[0]
-        t = jax.random.randint(rng_t, (B,), 0, schedule.num_timesteps)
+        if sampler_state is not None:
+            t, weights = sample_timesteps(sampler_state, rng_t, B)
+        else:
+            t = jax.random.randint(rng_t, (B,), 0, schedule.num_timesteps)
+            weights = jnp.ones((B,), x.dtype)
         noise = jax.random.normal(rng_noise, x.shape, x.dtype)
-        (loss, metrics), grads = jax.value_and_grad(loss_for, has_aux=True)(
-            params, x, y, t, noise, rng_drop)
-        return grads, metrics
+        (loss, (metrics, per_example)), grads = jax.value_and_grad(
+            loss_for, has_aux=True)(params, x, y, t, noise, weights, rng_drop)
+        if sampler_state is not None:
+            sampler_state = update_with_losses(sampler_state, t, per_example)
+        return grads, metrics, sampler_state
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         x, y = batch["x"], batch["y"]
+        sampler_state = state.sampler_state
         if grad_accum == 1:
-            grads, metrics = micro_grads(state.params, x, y, rng)
+            grads, metrics, sampler_state = micro_grads(
+                state.params, sampler_state, x, y, rng)
         else:
+            assert state.sampler_state is None, (
+                "loss-aware timestep sampling not supported with grad_accum")
             B = x.shape[0]
             assert B % grad_accum == 0
             mb = B // grad_accum
@@ -121,7 +139,8 @@ def make_train_step(
             def body(carry, inp):
                 g_acc, i = carry
                 xi, yi = inp
-                g, m = micro_grads(state.params, xi, yi, jax.random.fold_in(rng, i))
+                g, m, _ = micro_grads(state.params, None, xi, yi,
+                                      jax.random.fold_in(rng, i))
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 return (g_acc, i + 1), m
 
@@ -136,7 +155,7 @@ def make_train_step(
         ema = update_ema(state.ema, master if master is not None else params,
                          ema_decay)
         new_state = TrainState(step=state.step + 1, params=params, ema=ema,
-                               opt_state=opt_state)
+                               opt_state=opt_state, sampler_state=sampler_state)
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
@@ -177,6 +196,7 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
             opt_shardings, example_state.opt_state,
             is_leaf=lambda n: isinstance(
                 n, (optax.ScaleByAdamState, MasterWeightsState))),
+        sampler_state=jax.tree.map(lambda _: rep, example_state.sampler_state),
     )
 
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}

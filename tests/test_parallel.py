@@ -214,3 +214,23 @@ def test_mixed_precision_sharded():
                            {"x": batch_sharding(mesh), "y": batch_sharding(mesh)})
     state, metrics = jitted(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_loss_aware_sampler_in_train_step():
+    """--schedule-sampler loss-second-moment: the sampler state updates in
+    the jitted step and the objective stays importance-weighted."""
+    from fast_dit_tpu.diffusion import create_named_schedule_sampler
+    model = tiny_model()
+    schedule = sched()
+    sampler = create_named_schedule_sampler("loss-second-moment",
+                                            schedule.num_timesteps)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   sampler_state=sampler)
+    step = jax.jit(make_train_step(model, schedule, tx))
+    batch = make_batch(B=8)
+    before = np.asarray(state.sampler_state.loss_counts).sum()
+    for i in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    after = np.asarray(state.sampler_state.loss_counts).sum()
+    assert after == before + 3 * 8
+    assert np.isfinite(float(metrics["loss"]))

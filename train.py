@@ -40,8 +40,14 @@ def main(args):
 
     mesh = create_mesh(model=args.tp)
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training process
+    sampler_state = None
+    if args.schedule_sampler != "uniform":
+        from fast_dit_tpu.diffusion import create_named_schedule_sampler
+        sampler_state = create_named_schedule_sampler(
+            args.schedule_sampler, diffusion.num_timesteps)
     state, tx = create_train_state(model, jax.random.PRNGKey(args.global_seed),
-                                   lr=args.lr)
+                                   lr=args.lr, mixed_precision=args.mixed_precision,
+                                   sampler_state=sampler_state)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"DiT Parameters: {n_params:,}")
 
@@ -154,6 +160,11 @@ def parse_args():
     parser.add_argument("--attn-backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--synthetic-data", action="store_true")
+    parser.add_argument("--schedule-sampler", type=str, default="uniform",
+                        choices=["uniform", "loss-second-moment"])
+    parser.add_argument("--mixed-precision", action="store_true",
+                        help="bf16 params + fp32 master weights (fits XL/2 "
+                             "Adam training in 16GB HBM)")
     parser.add_argument("--max-steps", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--export-pt", action="store_true",
