@@ -123,6 +123,14 @@ def _derive_tables(betas: np.ndarray) -> dict:
     assert (betas > 0).all() and (betas <= 1).all()
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas, axis=0)
+    if alphas_cumprod[-1] <= 0:
+        import warnings
+
+        warnings.warn(
+            "alphas_cumprod reaches 0 (a beta equals 1 — e.g. the Ho-scaled "
+            "linear schedule at very small T): sqrt_recip* tables are inf and "
+            "sampling/losses at the final timestep will produce NaNs",
+            RuntimeWarning, stacklevel=3)
     alphas_cumprod_prev = np.append(1.0, alphas_cumprod[:-1])
     alphas_cumprod_next = np.append(alphas_cumprod[1:], 0.0)
 

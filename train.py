@@ -80,6 +80,11 @@ def main(args):
             for e in range(args.epochs)
         ]
 
+    if args.profile_dir:
+        # TPU-native tracing (SURVEY.md §5: the reference has none; its only
+        # instrumentation is the steps/sec log line)
+        jax.profiler.start_trace(args.profile_dir)
+
     rng = jax.random.PRNGKey(args.global_seed)
     train_steps = int(state.step)
     log_steps, running_loss = 0, 0.0
@@ -116,6 +121,10 @@ def main(args):
                 break
         if done:
             break
+
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+        logger.info(f"Wrote profiler trace to {args.profile_dir}")
 
     if ckpt_mgr:
         ckpt_mgr.save(train_steps, jax.device_get(state), force=True)
@@ -167,6 +176,8 @@ def parse_args():
                              "Adam training in 16GB HBM)")
     parser.add_argument("--max-steps", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--profile-dir", type=str, default=None,
+                        help="write a jax.profiler trace here")
     parser.add_argument("--export-pt", action="store_true",
                         help="also export a torch-compatible EMA .pt at the end")
     return parser.parse_args()
