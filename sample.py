@@ -36,6 +36,14 @@ def load_dit_params(args, model):
         return jax.tree.map(
             lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(1), p.shape),
             params)
+    if args.ckpt and os.path.isdir(args.ckpt):
+        # orbax checkpoint dir from train.py: load the EMA weights
+        # (same preference as the reference's find_model, download.py:26-29)
+        from fast_dit_tpu.ckpt import restore_checkpoint
+
+        restored = restore_checkpoint(args.ckpt)
+        tree = restored["ema"] if "ema" in restored else restored["params"]
+        return jax.tree.map(jnp.asarray, tree)
     ckpt_path = args.ckpt or f"DiT-XL-2-{args.image_size}x{args.image_size}.pt"
     sd = find_model(ckpt_path)
     return jax.tree.map(jnp.asarray,
@@ -54,7 +62,8 @@ def main(args):
     latent_size = args.image_size // 8
     model = DiT_models[args.model](input_size=latent_size,
                                    num_classes=args.num_classes,
-                                   attn_backend=args.attn_backend)
+                                   attn_backend=args.attn_backend,
+                                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     params = load_dit_params(args, model)
     diffusion = create_diffusion(str(args.num_sampling_steps))
     vae, vae_params = maybe_load_vae(args)
@@ -66,7 +75,7 @@ def main(args):
     use_cfg = args.cfg_scale > 1.0
 
     @jax.jit
-    def run(rng):
+    def run(params, vae_params, rng):
         z = jax.random.normal(jax.random.fold_in(rng, 0),
                               (n, 4, latent_size, latent_size))
         z = jnp.concatenate([z, z], axis=0)
@@ -85,7 +94,7 @@ def main(args):
         return samples
 
     rng = jax.random.PRNGKey(args.seed)
-    out = np.asarray(run(rng))
+    out = np.asarray(run(params, vae_params, rng))
     if vae_params is not None:
         save_image(out, "sample.png", nrow=4, value_range=(-1, 1))
         print("Saved sample.png")
@@ -116,6 +125,8 @@ def parse_args():
                         help="local diffusers-format SD-VAE weights")
     parser.add_argument("--attn-backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "einsum"])
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 activations for faster sampling")
     return parser.parse_args()
 
 

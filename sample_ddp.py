@@ -60,7 +60,8 @@ def main(args):
     latent_size = args.image_size // 8
     model = DiT_models[args.model](input_size=latent_size,
                                    num_classes=args.num_classes,
-                                   attn_backend=args.attn_backend)
+                                   attn_backend=args.attn_backend,
+                                   dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     ckpt_path = args.ckpt or f"DiT-XL-2-{args.image_size}x{args.image_size}.pt"
     if ckpt_path == "random":
         params = model.init({"params": jax.random.PRNGKey(0)},
@@ -103,7 +104,7 @@ def main(args):
     iterations = samples_needed_this_proc // n
 
     @jax.jit
-    def generate(rng):
+    def generate(params, vae_params, rng):
         z = jax.random.normal(jax.random.fold_in(rng, 0),
                               (n, model.in_channels, latent_size, latent_size))
         y = jax.random.randint(jax.random.fold_in(rng, 1), (n,), 0, args.num_classes)
@@ -136,7 +137,8 @@ def main(args):
     with ThreadPoolExecutor(max_workers=args.io_threads) as pool:
         futures = []
         for it in pbar:
-            samples = np.asarray(generate(jax.random.fold_in(rng, it)))
+            samples = np.asarray(generate(params, vae_params,
+                                          jax.random.fold_in(rng, it)))
             for i, sample in enumerate(samples):
                 index = i * world + rank + total
                 futures.append(pool.submit(
@@ -179,4 +181,6 @@ if __name__ == "__main__":
     parser.add_argument("--attn-backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--io-threads", type=int, default=16)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 activations for faster sampling")
     main(parser.parse_args())

@@ -26,6 +26,10 @@ from fast_dit_tpu.utils import create_logger, make_experiment_dir
 
 
 def main(args):
+    # the reference's TF32 on/off ablation (train_tf32_disabled.py:12-13)
+    # maps to XLA's matmul precision: "default" = fast (bf16 passes),
+    # "highest" = full fp32 MXU passes
+    jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     is_main = jax.process_index() == 0
     experiment_dir = make_experiment_dir(args.results_dir, args.model) if is_main else None
     logger = create_logger(experiment_dir, is_main=is_main)
@@ -69,16 +73,31 @@ def main(args):
             num_classes=args.num_classes, seed=args.global_seed)]
         logger.info("Using synthetic latent features")
     else:
-        dataset = FeatureDataset(f"{args.feature_path}/imagenet{args.image_size}_features",
-                                 f"{args.feature_path}/imagenet{args.image_size}_labels")
+        feat_dir = f"{args.feature_path}/imagenet{args.image_size}_features"
+        label_dir = f"{args.feature_path}/imagenet{args.image_size}_labels"
+        dataset = FeatureDataset(feat_dir, label_dir)
         logger.info(f"Dataset contains {len(dataset):,} features "
                     f"({args.feature_path})")
-        epochs_iter = [
-            feature_batches(dataset, args.global_batch_size, seed=args.global_seed + e,
-                            process_index=jax.process_index(),
-                            process_count=jax.process_count())
-            for e in range(args.epochs)
-        ]
+        if args.native_loader:
+            from fast_dit_tpu.data.native_loader import NativeFeatureLoader
+            epochs_iter = [
+                NativeFeatureLoader(
+                    feat_dir, label_dir, args.global_batch_size,
+                    seed=args.global_seed + e, num_epochs=1,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count(),
+                    num_threads=args.num_workers)
+                for e in range(args.epochs)
+            ]
+            logger.info("Using the native C++ feature loader")
+        else:
+            epochs_iter = [
+                feature_batches(dataset, args.global_batch_size,
+                                seed=args.global_seed + e,
+                                process_index=jax.process_index(),
+                                process_count=jax.process_count())
+                for e in range(args.epochs)
+            ]
 
     if args.profile_dir:
         # TPU-native tracing (SURVEY.md §5: the reference has none; its only
@@ -178,6 +197,11 @@ def parse_args():
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--profile-dir", type=str, default=None,
                         help="write a jax.profiler trace here")
+    parser.add_argument("--matmul-precision", type=str, default="default",
+                        choices=["default", "high", "highest"],
+                        help="XLA matmul precision (the TF32-toggle ablation)")
+    parser.add_argument("--native-loader", action="store_true",
+                        help="use the C++ feature loader (no GIL in the IO path)")
     parser.add_argument("--export-pt", action="store_true",
                         help="also export a torch-compatible EMA .pt at the end")
     return parser.parse_args()
