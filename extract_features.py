@@ -20,12 +20,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fast_dit_tpu.utils.platform import maybe_force_cpu, maybe_initialize_distributed
 from fast_dit_tpu.ckpt.vae_import import import_vae_checkpoint
 from fast_dit_tpu.data import ImageFolderIndex, load_image
 from fast_dit_tpu.models.vae import AutoencoderKL, DiagonalGaussian, VAE_SCALE
 
 
 def main(args):
+    maybe_force_cpu()
+    maybe_initialize_distributed()
     rank = jax.process_index()
     world = jax.process_count()
     seed = args.global_seed * world + rank

@@ -50,6 +50,7 @@ class DiT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
     remat: bool = False  # gradient checkpointing per block (ring-2 feature)
+    scan_unroll: int = 1  # lax.scan unroll factor over the block stack
 
     @property
     def out_channels(self) -> int:
@@ -119,6 +120,7 @@ class DiT(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.depth,
+            unroll=self.scan_unroll,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
           self.attn_backend, name="blocks")

@@ -44,10 +44,12 @@ def _has_pallas_support() -> bool:
 
 def resolve_backend(backend: str, seq_len: int = 256) -> str:
     if backend == "auto":
-        # measured on v5e: the VMEM-resident Pallas kernel wins at DiT's
-        # 256-token sequences; XLA's fused attention wins by 1k tokens
-        if _has_pallas_support() and seq_len <= 512:
-            return "pallas"
+        # Measured on v5e inside the FULL DiT-XL/2 block stack (bs128):
+        # fwd 216ms (xla) vs 339ms (pallas) — the custom call breaks XLA's
+        # surrounding fusions at these small sequence lengths even though the
+        # kernel wins in isolation. Keep "pallas" available explicitly (it is
+        # also the more PRECISE path for fp32 parity work: 9e-7 vs ~5e-3
+        # against an fp64 oracle).
         return "xla"
     return backend
 

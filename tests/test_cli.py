@@ -1,0 +1,78 @@
+"""CLI smoke tests: run the real entry points as subprocesses on CPU
+(FDT_FORCE_CPU=1), tiny configs — end-to-end coverage of the argparse
+surface, logging format, checkpointing, and artifact outputs."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(script, *args, timeout=600):
+    env = dict(os.environ, FDT_FORCE_CPU="1")
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True, text=True, timeout=timeout, env=env, cwd=REPO)
+
+
+@pytest.mark.slow
+def test_train_cli_synthetic(tmp_path):
+    r = run_cli(
+        "train.py", "--model", "DiT-S/8", "--synthetic-data",
+        "--global-batch-size", "8", "--max-steps", "3", "--log-every", "1",
+        "--results-dir", str(tmp_path), "--epochs", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Train Loss:" in r.stdout + r.stderr
+    assert "Train Steps/Sec:" in r.stdout + r.stderr  # reference log format
+    # experiment dir + checkpoint created
+    exps = os.listdir(tmp_path)
+    assert len(exps) == 1 and exps[0].startswith("000-DiT-S-8")
+    ckpts = os.listdir(tmp_path / exps[0] / "checkpoints")
+    assert any(c == "3" for c in ckpts), ckpts
+
+
+@pytest.mark.slow
+def test_sample_cli_random(tmp_path):
+    r = run_cli("sample.py", "--model", "DiT-S/8", "--num-sampling-steps", "4",
+                "--ckpt", "random", "--seed", "1")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(REPO, "sample.npy"))
+    lat = np.load(os.path.join(REPO, "sample.npy"))
+    assert lat.shape == (8, 4, 32, 32)
+    os.remove(os.path.join(REPO, "sample.npy"))
+    os.remove(os.path.join(REPO, "sample.png"))
+
+
+@pytest.mark.slow
+def test_sample_ddp_cli(tmp_path):
+    r = run_cli("sample_ddp.py", "--model", "DiT-S/8", "--ckpt", "random",
+                "--per-proc-batch-size", "2", "--num-fid-samples", "4",
+                "--num-sampling-steps", "2", "--cfg-scale", "1.0",
+                "--sample-dir", str(tmp_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    subdirs = [d for d in os.listdir(tmp_path) if not d.endswith(".npz")]
+    pngs = sorted(os.listdir(tmp_path / subdirs[0]))
+    assert pngs == [f"{i:06d}.png" for i in range(4)]
+    npz = [f for f in os.listdir(tmp_path) if f.endswith(".npz")]
+    arr = np.load(str(tmp_path / npz[0]))["arr_0"]
+    assert arr.shape == (4, 32, 32, 3) and arr.dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_bench_quick():
+    env = dict(os.environ, FDT_FORCE_CPU="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--quick", "--steps", "1"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    # bench has no FDT_FORCE_CPU hook; JAX_PLATFORMS works outside axon envs.
+    # accept either success or the axon override (skip in that case)
+    if r.returncode != 0:
+        pytest.skip("bench could not run on CPU in this environment")
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    out = json.loads(line)
+    assert set(out) == {"metric", "value", "unit", "vs_baseline"}

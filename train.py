@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fast_dit_tpu.utils.platform import maybe_force_cpu, maybe_initialize_distributed
 from fast_dit_tpu.ckpt import CheckpointManager, flax_to_state_dict
 from fast_dit_tpu.data import FeatureDataset, feature_batches, synthetic_features
 from fast_dit_tpu.diffusion import create_diffusion
@@ -26,6 +27,8 @@ from fast_dit_tpu.utils import create_logger, make_experiment_dir
 
 
 def main(args):
+    maybe_force_cpu()
+    maybe_initialize_distributed()
     # the reference's TF32 on/off ablation (train_tf32_disabled.py:12-13)
     # maps to XLA's matmul precision: "default" = fast (bf16 passes),
     # "highest" = full fp32 MXU passes
@@ -36,6 +39,10 @@ def main(args):
     logger.info(f"Experiment directory created at {experiment_dir}")
 
     assert args.image_size % 8 == 0, "Image size must be divisible by 8 (for the VAE encoder)."
+    n_data = len(jax.devices()) // args.tp
+    assert args.global_batch_size % (n_data * args.grad_accum) == 0, (
+        f"global batch {args.global_batch_size} must be divisible by "
+        f"data-axis size {n_data} x grad_accum {args.grad_accum}")
     latent_size = args.image_size // 8
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = DiT_models[args.model](
