@@ -31,6 +31,7 @@ __all__ = [
     "plucker_coordinates",
     "raymap",
     "fourier_features",
+    "scale_intrinsics",
 ]
 
 
@@ -147,6 +148,16 @@ def raymap(K, R, t, h: int, w: int):
     origin = -jnp.einsum("ji,j->i", R, t)
     origins = jnp.broadcast_to(origin, dirs.shape)
     return jnp.concatenate([origins, dirs], axis=-1)
+
+
+def scale_intrinsics(K: jnp.ndarray, sx: float, sy: float = None) -> jnp.ndarray:
+    """Rescale an intrinsics matrix for a resized image (RealEstate10K-style
+    normalized-intrinsics handling, reference evaluation-metrics.py:440-456
+    and warp-image-numpy-real-estate.py:267): fx,cx scale by sx; fy,cy by sy.
+    For normalized intrinsics, pass the target width/height directly."""
+    sy = sx if sy is None else sy
+    s = jnp.array([[sx, 1.0, sx], [1.0, sy, sy], [1.0, 1.0, 1.0]], K.dtype)
+    return K * s
 
 
 def fourier_features(coords: jnp.ndarray, num_bands: int = 6,

@@ -234,3 +234,21 @@ def test_remat_matches_no_remat():
     gb = jax.grad(loss(b))(params)
     for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-5)
+
+
+def test_512_config_shapes():
+    """XL/2 at 512x512: 64x64 latents, 1024 tokens (SURVEY.md §5 sequence
+    scaling) — shape-checked abstractly (no FLOPs)."""
+    m = DiT_models["DiT-XL/2"](input_size=64)
+    params = jax.eval_shape(
+        lambda: m.init({"params": jax.random.PRNGKey(0)},
+                       jnp.zeros((1, 4, 64, 64)), jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1,), jnp.int32)))
+    out = jax.eval_shape(
+        lambda p: m.apply(p, jnp.zeros((2, 4, 64, 64)), jnp.zeros((2,), jnp.int32),
+                          jnp.zeros((2,), jnp.int32)), params)
+    assert out.shape == (2, 8, 64, 64)
+    # patch-size trade-off configs cover the same image at fewer tokens
+    for name, tokens in [("DiT-XL/4", 256), ("DiT-XL/8", 64)]:
+        mm = DiT_models[name](input_size=64)
+        assert mm.num_patches == tokens

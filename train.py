@@ -117,6 +117,20 @@ def main(args):
     start_time = time.time()
     logger.info(f"Training for {args.epochs} epochs...")
 
+    # Preemption-safe shutdown: checkpoint on SIGTERM/SIGINT, then exit
+    # cleanly (the reference dies with a raw traceback when slurm kills it,
+    # SURVEY.md §5 'failure detection: none').
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_signal(signum, frame):
+        logger.info(f"Received signal {signum}; checkpointing before exit...")
+        preempted["flag"] = True
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     done = False
     for epoch, batches in enumerate(epochs_iter):
         logger.info(f"Beginning epoch {epoch}...")
@@ -142,7 +156,7 @@ def main(args):
                 logger.info(f"Saved checkpoint at step {train_steps} "
                             f"to {experiment_dir}/checkpoints")
 
-            if args.max_steps and train_steps >= args.max_steps:
+            if preempted["flag"] or (args.max_steps and train_steps >= args.max_steps):
                 done = True
                 break
         if done:
