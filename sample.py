@@ -88,7 +88,9 @@ def main(args):
                 cfg_scale=args.cfg_scale)
         else:
             model_fn = lambda x, t: model.apply(params, x, t, y)
-        samples = diffusion.p_sample_loop(
+        loop = (diffusion.p_sample_loop if args.sampler == "ddpm"
+                else diffusion.ddim_sample_loop)
+        samples = loop(
             model_fn, z.shape, noise=z, rng=jax.random.fold_in(rng, 1),
             clip_denoised=False)
         samples = samples[:n]  # keep the conditional half (reference :64)
@@ -130,6 +132,10 @@ def parse_args():
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations for faster sampling")
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=["ddpm", "ddim"],
+                        help="ddim pairs naturally with --num-sampling-steps "
+                             "via the ddimN respacing")
     return parser.parse_args()
 
 

@@ -106,24 +106,46 @@ def main(args):
     samples_needed_this_proc = total_samples // world
     iterations = samples_needed_this_proc // n
 
+    # within one process, shard the batch over all local chips (pure
+    # throughput: no inter-chip traffic, like the reference's rank striding)
+    n_local = len(jax.local_devices())
+    mesh = None
+    if n_local > 1 and n % n_local == 0:
+        from fast_dit_tpu.parallel import create_mesh
+        mesh = create_mesh(data=n_local, model=1, devices=jax.local_devices())
+        print(f"Sharding generation over {n_local} local devices")
+
+    def shard_batchwise(a):
+        if mesh is None:
+            return a
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    sampler_kind = args.sampler
+
     @jax.jit
     def generate(params, vae_params, rng):
         z = jax.random.normal(jax.random.fold_in(rng, 0),
                               (n, model.in_channels, latent_size, latent_size))
+        z = shard_batchwise(z)
         y = jax.random.randint(jax.random.fold_in(rng, 1), (n,), 0, args.num_classes)
+        y = shard_batchwise(y)
+        loop = (diffusion.p_sample_loop if sampler_kind == "ddpm"
+                else diffusion.ddim_sample_loop)
         if using_cfg:
             zz = jnp.concatenate([z, z], 0)
             yy = jnp.concatenate([y, jnp.full((n,), 1000)], 0)
             model_fn = lambda x, t: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale)
-            samples = diffusion.p_sample_loop(
+            samples = loop(
                 model_fn, zz.shape, noise=zz, rng=jax.random.fold_in(rng, 2),
                 clip_denoised=False)
             samples = samples[:n]  # remove null-class half
         else:
             model_fn = lambda x, t: model.apply(params, x, t, y)
-            samples = diffusion.p_sample_loop(
+            samples = loop(
                 model_fn, z.shape, noise=z, rng=jax.random.fold_in(rng, 2),
                 clip_denoised=False)
         if vae_params is not None:
@@ -186,4 +208,6 @@ if __name__ == "__main__":
     parser.add_argument("--io-threads", type=int, default=16)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations for faster sampling")
+    parser.add_argument("--sampler", type=str, default="ddpm",
+                        choices=["ddpm", "ddim"])
     main(parser.parse_args())
