@@ -47,16 +47,18 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
 
     # warmup / compile
     state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
+    # host-sync every step: conservative wall-clock timing that a deferred/
+    # async runtime cannot flatter
     t0 = time.perf_counter()
     for _ in range(steps):
         state, metrics = step(state, batch_data, jax.random.PRNGKey(3))
-    jax.block_until_ready(metrics["loss"])
+        loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
-    return steps / dt, float(metrics["loss"])
+    return steps / dt, loss
 
 
 def main():

@@ -61,11 +61,11 @@ def main():
         return diffusion.p_sample_loop(fn, z.shape, noise=z, rng=rng,
                                        clip_denoised=False)
 
-    run(params, jax.random.PRNGKey(0)).block_until_ready()  # compile
+    float(run(params, jax.random.PRNGKey(0)).sum())  # compile + materialize
     times = []
     for i in range(args.reps):
         t0 = time.perf_counter()
-        run(params, jax.random.PRNGKey(i)).block_until_ready()
+        float(run(params, jax.random.PRNGKey(i)).sum())  # host-synced
         times.append(time.perf_counter() - t0)
     times.sort()
     p50 = times[len(times) // 2]

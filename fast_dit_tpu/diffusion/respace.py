@@ -11,6 +11,8 @@ timestep remap (respace.py:117-129) becomes a gather through
 
 from __future__ import annotations
 
+from itertools import accumulate, chain, repeat
+
 __all__ = ["space_timesteps"]
 
 
@@ -24,31 +26,32 @@ def space_timesteps(num_timesteps: int, section_counts) -> set:
     """
     if isinstance(section_counts, str):
         if section_counts.startswith("ddim"):
-            desired_count = int(section_counts[len("ddim"):])
-            for i in range(1, num_timesteps):
-                if len(range(0, num_timesteps, i)) == desired_count:
-                    return set(range(0, num_timesteps, i))
-            raise ValueError(
-                f"cannot create exactly {desired_count} steps with an integer stride"
-            )
+            want = int(section_counts[4:])
+            # DDIM-paper fixed striding: the unique integer stride i with
+            # ceil(num_timesteps / i) == want, if one exists
+            strides = (i for i in range(1, num_timesteps)
+                       if len(range(0, num_timesteps, i)) == want)
+            stride = next(strides, None)
+            if stride is None:
+                raise ValueError(
+                    f"cannot create exactly {want} steps with an integer stride")
+            return set(range(0, num_timesteps, stride))
         section_counts = [int(x) for x in section_counts.split(",")]
-    size_per = num_timesteps // len(section_counts)
-    extra = num_timesteps % len(section_counts)
-    start_idx = 0
-    all_steps = []
-    for i, section_count in enumerate(section_counts):
-        size = size_per + (1 if i < extra else 0)
-        if size < section_count:
-            raise ValueError(f"cannot divide section of {size} steps into {section_count}")
-        if section_count <= 1:
-            frac_stride = 1
-        else:
-            frac_stride = (size - 1) / (section_count - 1)
-        cur_idx = 0.0
-        taken_steps = []
-        for _ in range(section_count):
-            taken_steps.append(start_idx + round(cur_idx))
-            cur_idx += frac_stride
-        all_steps += taken_steps
-        start_idx += size
-    return set(all_steps)
+
+    n_sections = len(section_counts)
+    base, extra = divmod(num_timesteps, n_sections)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_sections)]
+    starts = [sum(sizes[:i]) for i in range(n_sections)]
+
+    kept: set = set()
+    for start, size, count in zip(starts, sizes, section_counts):
+        if size < count:
+            raise ValueError(f"cannot divide section of {size} steps into {count}")
+        # `count` fractional positions evenly spanning [0, size-1]. NOTE: the
+        # positions are a left-to-right float ACCUMULATION (not j*stride) —
+        # checkpoint compatibility requires reproducing the exact same
+        # rounding the original accumulator produced.
+        stride = 1.0 if count <= 1 else (size - 1) / (count - 1)
+        positions = accumulate(chain([0.0], repeat(stride, count - 1)))
+        kept.update(start + round(c) for c in positions)
+    return kept
