@@ -64,7 +64,8 @@ def main(args):
 
     train_step, st_sh = make_sharded_train_step(
         model, diffusion.schedule, tx, mesh, tp=args.tp > 1, fsdp=args.fsdp,
-        grad_accum=args.grad_accum, example_state=state)
+        grad_accum=args.grad_accum, ema_decay=args.ema_decay,
+        example_state=state)
     state = jax.device_put(state, st_sh)
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
 
@@ -200,6 +201,7 @@ def parse_args():
     parser.add_argument("--ckpt-every", type=int, default=50_000)
     # TPU-native extensions (ring-2 ablations as flags + mesh parallelism)
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--ema-decay", type=float, default=0.9999)
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel axis size")
     parser.add_argument("--fsdp", action="store_true", help="shard params over data axis")
     parser.add_argument("--grad-accum", type=int, default=1)
