@@ -86,6 +86,7 @@ def make_train_step(
     *,
     ema_decay: float = 0.9999,
     grad_accum: int = 1,
+    log_grad_norm: bool = False,
 ) -> Callable:
     """Build `train_step(state, batch, rng) -> (state, metrics)`.
 
@@ -157,7 +158,8 @@ def make_train_step(
         new_state = TrainState(step=state.step + 1, params=params, ema=ema,
                                opt_state=opt_state, sampler_state=sampler_state)
         metrics = dict(metrics)
-        metrics["grad_norm"] = optax.global_norm(grads)
+        if log_grad_norm:  # telemetry only: touches every grad buffer
+            metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
     return train_step
@@ -165,11 +167,12 @@ def make_train_step(
 
 def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
                             fsdp: bool = False, ema_decay: float = 0.9999,
-                            grad_accum: int = 1, example_state: TrainState = None):
+                            grad_accum: int = 1, log_grad_norm: bool = False,
+                            example_state: TrainState = None):
     """jit the train step over a mesh: batch sharded on 'data', state sharded
     per the DiT param rules, state buffers donated."""
     step_fn = make_train_step(model, schedule, tx, ema_decay=ema_decay,
-                              grad_accum=grad_accum)
+                              grad_accum=grad_accum, log_grad_norm=log_grad_norm)
     assert example_state is not None, "need an example state for sharding layout"
 
     rep = replicated_sharding(mesh)
