@@ -71,7 +71,18 @@ def main():
     ap.add_argument("--attn-backend", default="auto")
     ap.add_argument("--quick", action="store_true",
                     help="small model / batch smoke run")
+    ap.add_argument("--metric", default="train", choices=["train", "sampling"],
+                    help="'sampling' delegates to benchmarks/sample_bench.py")
     args = ap.parse_args()
+
+    if args.metric == "sampling":
+        import runpy
+
+        sys.argv = ["sample_bench.py", "--model", args.model,
+                    "--image-size", str(args.image_size),
+                    "--attn-backend", args.attn_backend]
+        runpy.run_path("benchmarks/sample_bench.py", run_name="__main__")
+        return
 
     if args.quick:
         args.model, args.global_batch_size, args.steps = "DiT-S/2", 16, 3
