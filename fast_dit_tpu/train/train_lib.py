@@ -87,27 +87,44 @@ def make_train_step(
     ema_decay: float = 0.9999,
     grad_accum: int = 1,
     log_grad_norm: bool = False,
+    model_call: Optional[Callable] = None,
 ) -> Callable:
     """Build `train_step(state, batch, rng) -> (state, metrics)`.
 
-    batch: {"x": (B, C, H, W) latents, "y": (B,) int labels}. With
-    `grad_accum > 1` the batch is split into microbatches and gradients are
-    averaged inside the same XLA program (a lax.scan over chunks) — one
-    optimizer step per global batch, for memory headroom.
+    batch: {"x": (B, C, H, W) latents, "y": (B,) int labels, ...extra
+    conditioning}. With `grad_accum > 1` the batch is split into microbatches
+    and gradients are averaged inside the same XLA program (a lax.scan over
+    chunks) — one optimizer step per global batch, for memory headroom.
+
+    `model_call(params, x_t, t_model, batch, drop_rng)` overrides how the
+    model is applied — e.g. for `DiTNVS`, pass the DINO features through:
+        lambda p, xt, tm, b, r: model.apply(p, xt, tm, b["dino_feat"],
+                                            b["y"], train=True,
+                                            rngs={"label_drop": r})
+    (the reference never could: its trainer calls the fork model with the
+    wrong arity, SURVEY.md §0.)
     """
 
-    def loss_for(params, x, y, t, noise, weights, drop_rng):
+    def default_model_call(params, x_t, t_model, batch, drop_rng):
+        return model.apply(params, x_t, t_model, batch["y"], train=True,
+                           rngs={"label_drop": drop_rng})
+
+    apply_model = model_call if model_call is not None else default_model_call
+
+    def loss_for(params, batch_mb, t, noise, weights, drop_rng):
+        x = batch_mb["x"]
+
         def model_fn(x_t, t_model):
-            return model.apply(params, x_t, t_model, y, train=True,
-                               rngs={"label_drop": drop_rng})
+            return apply_model(params, x_t, t_model, batch_mb, drop_rng)
         terms = training_losses(schedule, model_fn, x, t, noise)
         per_example = terms["loss"]
         loss = (weights * per_example).mean()
         metrics = {k: v.mean() for k, v in terms.items()}
         return loss, (metrics, per_example)
 
-    def micro_grads(params, sampler_state, x, y, rng):
+    def micro_grads(params, sampler_state, batch_mb, rng):
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
+        x = batch_mb["x"]
         B = x.shape[0]
         if sampler_state is not None:
             t, weights = sample_timesteps(sampler_state, rng_t, B)
@@ -116,37 +133,35 @@ def make_train_step(
             weights = jnp.ones((B,), x.dtype)
         noise = jax.random.normal(rng_noise, x.shape, x.dtype)
         (loss, (metrics, per_example)), grads = jax.value_and_grad(
-            loss_for, has_aux=True)(params, x, y, t, noise, weights, rng_drop)
+            loss_for, has_aux=True)(params, batch_mb, t, noise, weights, rng_drop)
         if sampler_state is not None:
             sampler_state = update_with_losses(sampler_state, t, per_example)
         return grads, metrics, sampler_state
 
     def train_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
-        x, y = batch["x"], batch["y"]
         sampler_state = state.sampler_state
         if grad_accum == 1:
             grads, metrics, sampler_state = micro_grads(
-                state.params, sampler_state, x, y, rng)
+                state.params, sampler_state, batch, rng)
         else:
             assert state.sampler_state is None, (
                 "loss-aware timestep sampling not supported with grad_accum")
-            B = x.shape[0]
+            B = batch["x"].shape[0]
             assert B % grad_accum == 0
             mb = B // grad_accum
-            xs = x.reshape(grad_accum, mb, *x.shape[1:])
-            ys = y.reshape(grad_accum, mb, *y.shape[1:])
+            chunks = jax.tree.map(
+                lambda a: a.reshape(grad_accum, mb, *a.shape[1:]), batch)
 
-            def body(carry, inp):
+            def body(carry, batch_i):
                 g_acc, i = carry
-                xi, yi = inp
-                g, m, _ = micro_grads(state.params, None, xi, yi,
+                g, m, _ = micro_grads(state.params, None, batch_i,
                                       jax.random.fold_in(rng, i))
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
                 return (g_acc, i + 1), m
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
-            (gsum, _), ms = jax.lax.scan(body, (zero, 0), (xs, ys))
+            (gsum, _), ms = jax.lax.scan(body, (zero, 0), chunks)
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             metrics = {k: v.mean() for k, v in ms.items()}
 
@@ -168,11 +183,13 @@ def make_train_step(
 def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
                             fsdp: bool = False, ema_decay: float = 0.9999,
                             grad_accum: int = 1, log_grad_norm: bool = False,
+                            model_call: Optional[Callable] = None,
                             example_state: TrainState = None):
     """jit the train step over a mesh: batch sharded on 'data', state sharded
     per the DiT param rules, state buffers donated."""
     step_fn = make_train_step(model, schedule, tx, ema_decay=ema_decay,
-                              grad_accum=grad_accum, log_grad_norm=log_grad_norm)
+                              grad_accum=grad_accum, log_grad_norm=log_grad_norm,
+                              model_call=model_call)
     assert example_state is not None, "need an example state for sharding layout"
 
     rep = replicated_sharding(mesh)
@@ -202,7 +219,9 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
         sampler_state=jax.tree.map(lambda _: rep, example_state.sampler_state),
     )
 
-    data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
+    # batch: every entry (x, y, and any extra conditioning like dino_feat)
+    # is sharded on its leading/batch dimension
+    data_sh = None  # caller device_puts each batch key with batch_sharding
     rep = replicated_sharding(mesh)
 
     jitted = jax.jit(

@@ -234,3 +234,49 @@ def test_loss_aware_sampler_in_train_step():
     after = np.asarray(state.sampler_state.loss_counts).sum()
     assert after == before + 3 * 8
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_nvs_model_trains_via_model_call():
+    """DiTNVS (DINO cross-attention) trains through the model_call hook —
+    the reference's own trainer cannot train its fork model at all
+    (wrong forward arity, SURVEY.md §0)."""
+    from fast_dit_tpu.nvs import DiTNVS
+    model = DiTNVS(input_size=IMG, patch_size=4, hidden_size=32, depth=2,
+                   num_heads=4, num_classes=10, dino_dim=24, cross_layers=(1,),
+                   attn_backend="xla")
+    schedule = sched()
+    x = jnp.zeros((1, C, IMG, IMG))
+    dino = jnp.zeros((1, 24, 4, 4))
+    params = model.init({"params": jax.random.PRNGKey(0)}, x,
+                        jnp.zeros(1, jnp.int32), dino, jnp.zeros(1, jnp.int32))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       ema=jax.tree.map(jnp.copy, params),
+                       opt_state=None, sampler_state=None)
+    import optax
+    tx = optax.adamw(2e-3)
+    state = state.replace(opt_state=tx.init(params))
+
+    def model_call(p, x_t, t_model, batch, drop_rng):
+        return model.apply(p, x_t, t_model, batch["dino_feat"], batch["y"],
+                           train=True, rngs={"label_drop": drop_rng})
+
+    step = jax.jit(make_train_step(model, schedule, tx, model_call=model_call))
+    batch = dict(make_batch(B=8),
+                 dino_feat=jax.random.normal(jax.random.PRNGKey(3), (8, 24, 4, 4)))
+    first = None
+    for _ in range(25):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        if first is None:
+            first = float(metrics["mse"])
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["mse"]) < first, (first, float(metrics["mse"]))
+
+
+def test_grad_accum_with_extra_batch_keys():
+    model = tiny_model()
+    schedule = sched()
+    state, tx = create_train_state(model, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(model, schedule, tx, grad_accum=2))
+    batch = dict(make_batch(B=16), aux=jnp.arange(16.0))
+    state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
