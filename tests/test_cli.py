@@ -76,3 +76,36 @@ def test_bench_quick():
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     out = json.loads(line)
     assert set(out) == {"metric", "value", "unit", "vs_baseline"}
+
+
+@pytest.mark.slow
+def test_train_export_pt_then_sample_from_orbax(tmp_path):
+    """train -> torch-compatible EMA export + orbax ckpt -> sample.py loads
+    the orbax dir (the native train->sample loop)."""
+    r = run_cli(
+        "train.py", "--model", "DiT-S/8", "--synthetic-data",
+        "--global-batch-size", "8", "--max-steps", "2", "--log-every", "1",
+        "--results-dir", str(tmp_path), "--epochs", "1", "--export-pt")
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = os.listdir(tmp_path)[0]
+    ckpt_dir = str(tmp_path / exp / "checkpoints")
+    files = os.listdir(ckpt_dir)
+    pts = [f for f in files if f.endswith("-ema.pt")]
+    assert pts, files
+
+    # exported .pt imports back through the checkpoint mapper
+    import jax
+    from fast_dit_tpu.ckpt import import_dit_checkpoint
+    from fast_dit_tpu.models import DiT_models
+    model = DiT_models["DiT-S/8"](input_size=32)
+    params = import_dit_checkpoint(os.path.join(ckpt_dir, pts[0]), model)
+    assert sum(p.size for p in jax.tree.leaves(params)) > 1e6
+
+    # sample.py accepts the orbax checkpoint dir
+    r = run_cli("sample.py", "--model", "DiT-S/8", "--num-sampling-steps", "2",
+                "--ckpt", ckpt_dir, "--seed", "0")
+    assert r.returncode == 0, r.stderr[-2000:]
+    lat = np.load(os.path.join(REPO, "sample.npy"))
+    assert lat.shape == (8, 4, 32, 32) and np.isfinite(lat).all()
+    os.remove(os.path.join(REPO, "sample.npy"))
+    os.remove(os.path.join(REPO, "sample.png"))
