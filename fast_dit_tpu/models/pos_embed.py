@@ -6,6 +6,11 @@ embeddings are [sin | cos] over an fp64 omega ladder, concatenated [h | w],
 with the grid built width-first (meshgrid(w, h)). Pure numpy — the table is a
 compile-time constant baked into the XLA program, never a trainable parameter
 (reference models_original.py:174 freezes it).
+
+Provenance: this construction originates in facebookresearch/mae
+(util/pos_embed.py, CC-BY-NC 4.0), which the reference credits and copies
+verbatim; bit-exact equality of the frozen table is required for `.pt`
+checkpoint compatibility, so the math here matches it term for term.
 """
 
 from __future__ import annotations

@@ -5,7 +5,7 @@ Capability parity with the reference's warp-* script family
 project->scatter, `warp-image.py:45` planar homography,
 `warp-scannet-depth.py:110` depth-map warping, valid-pixel stats at
 `warp-image-by-depth.py:228`), rebuilt as one batched jax.numpy module with a
-depth-ordered scatter (nearest surface wins deterministically — the
+scatter-min winner selection (nearest surface wins deterministically — the
 reference's Python-loop scatter was last-write-wins in iteration order).
 
 Poses are world->camera [R | t]; depth is positive along +z.
@@ -13,6 +13,7 @@ Poses are world->camera [R | t]; depth is positive along +z.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -61,18 +62,31 @@ def project_points(pts: jnp.ndarray, K: jnp.ndarray):
 
 
 def _scatter_nearest(values, uv, depth, valid, out_hw):
-    """Scatter (N, C) values to round(uv) with nearest-depth priority."""
+    """Scatter (N, C) values to round(uv) with nearest-depth priority.
+
+    Deterministic: `.at[].set` with duplicate indices makes no ordering
+    promise, so the winner is selected explicitly — scatter-min the depth
+    (bitcast to int32; order-preserving for the positive depths `valid`
+    guarantees), break exact-depth ties by lowest source index with a second
+    scatter-min, then write only the unique winner per pixel.
+    """
     h, w = out_hw
     u = jnp.round(uv[..., 0]).astype(jnp.int32)
     v = jnp.round(uv[..., 1]).astype(jnp.int32)
     inb = (u >= 0) & (u < w) & (v >= 0) & (v < h) & valid
     flat = jnp.where(inb, v * w + u, h * w)  # out-of-bounds bucket
-    # sort by depth DESCENDING so the nearest surface writes last
-    order = jnp.argsort(-depth)
-    flat = flat[order]
-    vals = values[order]
+    big = jnp.iinfo(jnp.int32).max
+    zbits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32)
+    zbits = jnp.where(inb, zbits, big)
+    best_z = jnp.full((h * w + 1,), big, jnp.int32).at[flat].min(zbits)
+    tied = inb & (zbits == best_z[flat])
+    idx = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    best_i = jnp.full((h * w + 1,), big, jnp.int32).at[flat].min(
+        jnp.where(tied, idx, big))
+    winner = tied & (idx == best_i[flat])
+    flat_w = jnp.where(winner, flat, h * w)
     canvas = jnp.zeros((h * w + 1, values.shape[-1]), values.dtype)
-    canvas = canvas.at[flat].set(vals)
+    canvas = canvas.at[flat_w].set(values)
     hit = jnp.zeros((h * w + 1,), jnp.bool_).at[flat].set(True)
     return canvas[:-1].reshape(h, w, -1), hit[:-1].reshape(h, w)
 

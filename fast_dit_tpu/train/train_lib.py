@@ -145,23 +145,25 @@ def make_train_step(
             grads, metrics, sampler_state = micro_grads(
                 state.params, sampler_state, batch, rng)
         else:
-            assert state.sampler_state is None, (
-                "loss-aware timestep sampling not supported with grad_accum")
             B = batch["x"].shape[0]
             assert B % grad_accum == 0
             mb = B // grad_accum
             chunks = jax.tree.map(
                 lambda a: a.reshape(grad_accum, mb, *a.shape[1:]), batch)
 
+            # the loss-aware sampler state threads through the scan carry, so
+            # each microbatch sees the ring buffer updated by the previous one
+            # (sequential, like the reference's per-batch update)
             def body(carry, batch_i):
-                g_acc, i = carry
-                g, m, _ = micro_grads(state.params, None, batch_i,
-                                      jax.random.fold_in(rng, i))
+                g_acc, samp, i = carry
+                g, m, samp = micro_grads(state.params, samp, batch_i,
+                                         jax.random.fold_in(rng, i))
                 g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, i + 1), m
+                return (g_acc, samp, i + 1), m
 
             zero = jax.tree.map(jnp.zeros_like, state.params)
-            (gsum, _), ms = jax.lax.scan(body, (zero, 0), chunks)
+            (gsum, sampler_state, _), ms = jax.lax.scan(
+                body, (zero, sampler_state, 0), chunks)
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             metrics = {k: v.mean() for k, v in ms.items()}
 

@@ -13,7 +13,7 @@ import logging
 import os
 from glob import glob
 
-__all__ = ["create_logger", "make_experiment_dir"]
+__all__ = ["create_logger", "make_experiment_dir", "find_latest_experiment_dir"]
 
 
 def create_logger(logging_dir: str | None, *, is_main: bool = True) -> logging.Logger:
@@ -50,3 +50,12 @@ def make_experiment_dir(results_dir: str, model_name: str) -> str:
     os.makedirs(exp_dir, exist_ok=True)
     os.makedirs(os.path.join(exp_dir, "checkpoints"), exist_ok=True)
     return exp_dir
+
+
+def find_latest_experiment_dir(results_dir: str, model_name: str) -> str | None:
+    """Highest-indexed existing `NNN-{model}` dir, for `--resume` — the
+    auto-increment in `make_experiment_dir` would otherwise start every
+    invocation in a fresh empty dir and never see old checkpoints."""
+    safe = model_name.replace("/", "-")
+    candidates = sorted(glob(f"{results_dir}/[0-9][0-9][0-9]-{safe}"))
+    return candidates[-1] if candidates else None

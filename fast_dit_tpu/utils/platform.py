@@ -16,7 +16,7 @@ import os
 
 import jax
 
-__all__ = ["maybe_force_cpu", "maybe_initialize_distributed"]
+__all__ = ["maybe_force_cpu", "maybe_initialize_distributed", "broadcast_string"]
 
 
 def maybe_force_cpu():
@@ -33,3 +33,24 @@ def maybe_initialize_distributed():
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
             "COORDINATOR_ADDRESS"):
         jax.distributed.initialize()
+
+
+def broadcast_string(s: str | None, *, max_bytes: int = 4096) -> str:
+    """Share a process-0 string (e.g. an experiment dir) with every host.
+
+    Multi-host trainers need one common checkpoint path, but
+    `make_experiment_dir` races if every process lists the results dir
+    itself. Encode on rank 0, broadcast as a fixed-size uint8 array over the
+    mesh, decode everywhere. No-op for single-process runs.
+    """
+    if jax.process_count() == 1:
+        return s or ""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    data = (s or "").encode()
+    assert len(data) <= max_bytes, f"string too long to broadcast: {len(data)}"
+    buf = np.zeros(max_bytes, np.uint8)
+    buf[: len(data)] = np.frombuffer(data, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return out.tobytes().rstrip(b"\x00").decode()

@@ -74,15 +74,18 @@ def main(args):
     # labels from the reference demo (sample.py:47)
     class_labels = [207, 360, 387, 974, 88, 979, 417, 279]
     n = len(class_labels)
-    y = jnp.array(class_labels + [1000] * n)  # [cond ; null]
     use_cfg = args.cfg_scale > 1.0
+    # only double the batch under CFG; at cfg<=1 (the FID-parity config)
+    # sample n latents directly instead of computing a discarded half
+    y = (jnp.array(class_labels + [1000] * n) if use_cfg
+         else jnp.array(class_labels))
 
     @jax.jit
     def run(params, vae_params, rng):
         z = jax.random.normal(jax.random.fold_in(rng, 0),
                               (n, 4, latent_size, latent_size))
-        z = jnp.concatenate([z, z], axis=0)
         if use_cfg:
+            z = jnp.concatenate([z, z], axis=0)
             model_fn = lambda x, t: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale)

@@ -34,16 +34,19 @@ from fast_dit_tpu.models.vae import AutoencoderKL, VAE_SCALE
 
 
 def create_npz_from_sample_folder(sample_dir, num=50_000):
-    """Folder of {i:06d}.png -> one npz with arr_0 (reference sample_ddp.py:28-42)."""
-    samples = []
-    for i in tqdm(range(num), desc="Building .npz file from samples"):
-        sample_pil = Image.open(f"{sample_dir}/{i:06d}.png")
-        samples.append(np.asarray(sample_pil).astype(np.uint8))
-    samples = np.stack(samples)
-    assert samples.shape == (num, samples.shape[1], samples.shape[2], 3)
+    """Pack `{i:06d}.png` images into the ADM-evaluator npz contract: a
+    single uint8 array under the default key (`arr_0`), shape (num, H, W, 3)
+    (reference sample_ddp.py:28-42; consumed by openai/guided-diffusion's
+    evaluator per reference README.md:116-125)."""
+    first = np.asarray(Image.open(f"{sample_dir}/000000.png"), np.uint8)
+    stack = np.empty((num, *first.shape), np.uint8)
+    stack[0] = first
+    for i in tqdm(range(1, num), desc="Packing samples into npz"):
+        stack[i] = np.asarray(Image.open(f"{sample_dir}/{i:06d}.png"), np.uint8)
+    assert stack.ndim == 4 and stack.shape[-1] == 3, stack.shape
     npz_path = f"{sample_dir}.npz"
-    np.savez(npz_path, arr_0=samples)
-    print(f"Saved .npz file to {npz_path} [shape={samples.shape}].")
+    np.savez(npz_path, arr_0=stack)
+    print(f"Saved .npz file to {npz_path} [shape={stack.shape}].")
     return npz_path
 
 

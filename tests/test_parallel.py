@@ -172,6 +172,26 @@ def test_grad_accum_runs():
     assert int(state.step) == 1
 
 
+def test_grad_accum_with_loss_aware_sampler():
+    """The loss-second-moment ring buffer must advance across microbatches
+    inside the grad-accum scan (one update per microbatch, sequentially)."""
+    from fast_dit_tpu.diffusion import create_named_schedule_sampler
+
+    model = tiny_model()
+    schedule = sched()
+    sampler = create_named_schedule_sampler("loss-second-moment",
+                                            schedule.num_timesteps)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0),
+                                   sampler_state=sampler)
+    step = jax.jit(make_train_step(model, schedule, tx, grad_accum=4))
+    before = np.asarray(state.sampler_state.loss_counts).sum()
+    state, metrics = step(state, make_batch(B=16), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    after = np.asarray(state.sampler_state.loss_counts).sum()
+    # 4 microbatches x 4 examples = 16 recorded losses
+    assert after - before == 16, (before, after)
+
+
 def test_mixed_precision_master_weights():
     """bf16 params + fp32 master: params track master, EMA is fp32, loss
     decreases; sharded variant compiles and matches structure."""

@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_dit_tpu.utils.platform import maybe_force_cpu, maybe_initialize_distributed
+from fast_dit_tpu.utils.platform import (
+    broadcast_string, maybe_force_cpu, maybe_initialize_distributed)
 from fast_dit_tpu.ckpt import CheckpointManager, flax_to_state_dict
 from fast_dit_tpu.data import FeatureDataset, feature_batches, synthetic_features
 from fast_dit_tpu.diffusion import create_diffusion
@@ -24,6 +25,7 @@ from fast_dit_tpu.models import DiT_models
 from fast_dit_tpu.parallel import batch_sharding, create_mesh
 from fast_dit_tpu.train import create_train_state, make_sharded_train_step
 from fast_dit_tpu.utils import create_logger, make_experiment_dir
+from fast_dit_tpu.utils.logging import find_latest_experiment_dir
 
 
 def main(args):
@@ -34,7 +36,17 @@ def main(args):
     # "highest" = full fp32 MXU passes
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
     is_main = jax.process_index() == 0
-    experiment_dir = make_experiment_dir(args.results_dir, args.model) if is_main else None
+    # rank 0 allocates the dir; every host learns the same path (orbax needs
+    # one common checkpoint directory on multi-host). --resume re-enters the
+    # latest existing experiment dir instead of auto-incrementing a fresh one.
+    if is_main:
+        experiment_dir = (
+            find_latest_experiment_dir(args.results_dir, args.model)
+            if args.resume else None) or make_experiment_dir(
+                args.results_dir, args.model)
+    else:
+        experiment_dir = None
+    experiment_dir = broadcast_string(experiment_dir)
     logger = create_logger(experiment_dir, is_main=is_main)
     logger.info(f"Experiment directory created at {experiment_dir}")
 
@@ -69,10 +81,14 @@ def main(args):
     state = jax.device_put(state, st_sh)
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
 
-    ckpt_mgr = CheckpointManager(f"{experiment_dir}/checkpoints") if is_main else None
-    if args.resume and ckpt_mgr is not None and ckpt_mgr.latest_step() is not None:
-        restored = ckpt_mgr.restore(template=jax.device_get(state))
-        state = jax.device_put(restored, st_sh)
+    # orbax is multi-host aware: every process participates in save/restore
+    # (a rank-0-only manager silently diverges params across hosts on resume)
+    ckpt_mgr = CheckpointManager(f"{experiment_dir}/checkpoints")
+    if args.resume and ckpt_mgr.latest_step() is not None:
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if isinstance(x, jax.Array) else x, state)
+        state = ckpt_mgr.restore(template=template)
         logger.info(f"Resumed from checkpoint at step {int(state.step)}")
 
     if args.synthetic_data:
@@ -101,7 +117,7 @@ def main(args):
         else:
             epochs_iter = [
                 feature_batches(dataset, args.global_batch_size,
-                                seed=args.global_seed + e,
+                                seed=args.global_seed + e, num_epochs=1,
                                 process_index=jax.process_index(),
                                 process_count=jax.process_count())
                 for e in range(args.epochs)
@@ -152,8 +168,11 @@ def main(args):
                 running_loss, log_steps = 0.0, 0
                 start_time = time.time()
 
-            if train_steps % args.ckpt_every == 0 and train_steps > 0 and ckpt_mgr:
-                ckpt_mgr.save(train_steps, jax.device_get(state))
+            if train_steps % args.ckpt_every == 0 and train_steps > 0:
+                # pass device arrays: orbax copies to host synchronously
+                # before the async write, and this works on multi-host
+                # shardings where device_get would raise
+                ckpt_mgr.save(train_steps, state)
                 logger.info(f"Saved checkpoint at step {train_steps} "
                             f"to {experiment_dir}/checkpoints")
 
@@ -167,19 +186,18 @@ def main(args):
         jax.profiler.stop_trace()
         logger.info(f"Wrote profiler trace to {args.profile_dir}")
 
-    if ckpt_mgr:
-        ckpt_mgr.save(train_steps, jax.device_get(state), force=True)
-        ckpt_mgr.wait_until_finished()
-        if args.export_pt:
-            import torch
-            sd = flax_to_state_dict(jax.device_get(state.ema),
-                                    patch_size=model.patch_size,
-                                    in_channels=model.in_channels,
-                                    input_size=latent_size)
-            torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
-                       f"{experiment_dir}/checkpoints/{train_steps:07d}-ema.pt")
-            logger.info(f"Exported torch-compatible EMA checkpoint at step {train_steps}")
-        ckpt_mgr.close()
+    ckpt_mgr.save(train_steps, state, force=True)
+    ckpt_mgr.wait_until_finished()
+    if args.export_pt and jax.process_count() == 1:
+        import torch
+        sd = flax_to_state_dict(jax.device_get(state.ema),
+                                patch_size=model.patch_size,
+                                in_channels=model.in_channels,
+                                input_size=latent_size)
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+                   f"{experiment_dir}/checkpoints/{train_steps:07d}-ema.pt")
+        logger.info(f"Exported torch-compatible EMA checkpoint at step {train_steps}")
+    ckpt_mgr.close()
     logger.info("Done!")
 
 
