@@ -88,6 +88,29 @@ def test_parity_harness_end_to_end(tmp_path):
     assert "PARITY OK" in r.stdout, r.stdout
 
 
+@pytest.mark.parametrize("sampler", ["ddpm", "ddim"])
+def test_parity_against_recorded_reference_bundle(sampler):
+    """Replay the COMMITTED bundle recorded from the reference's own
+    p_sample_loop/ddim_sample_loop (tools/record_parity_bundle.py) — the
+    fidelity pin backed by /root/reference's code, not a re-implementation."""
+    fixtures = os.path.join(REPO, "tests/fixtures")
+    meta_path = os.path.join(fixtures, f"ref_bundle_{sampler}_T10.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    env = dict(os.environ, FDT_FORCE_CPU="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools/parity_check.py"),
+         "--bundle", os.path.join(fixtures, f"ref_bundle_{sampler}_T10.npz"),
+         "--ckpt", os.path.join(fixtures, "ref_bundle_model.pt"),
+         "--model-config", json.dumps(meta["model_config"]),
+         "--sampler", sampler, "--atol", "2e-4",
+         "--diffusion-steps", str(meta["T"]),
+         "--noise-schedule", meta["schedule"], "--clip-denoised"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "PARITY OK" in r.stdout, r.stdout
+
+
 def test_parity_harness_detects_mismatch(tmp_path):
     sd = make_state_dict(seed=0)
     rs = np.random.RandomState(7)
