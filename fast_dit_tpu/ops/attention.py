@@ -7,8 +7,9 @@ implementations:
 
 - "xla":    `jax.nn.dot_product_attention` — XLA's fused attention; the
             default on CPU and the fallback everywhere.
-- "pallas": our flash-attention TPU kernel (`ops/flash_attention.py`),
-            bf16-friendly, fp32 accumulation, online softmax.
+- "pallas": our flash-attention TPU kernel (`ops/flash_attention.py`):
+            K/V-blocked online-softmax forward + fused Pallas backward,
+            bf16-friendly with fp32 accumulation.
 - "einsum": reference-shaped naive attention, used in tests as the numerical
             ground truth.
 

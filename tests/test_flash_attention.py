@@ -24,7 +24,7 @@ def np_attention(q, k, v):
 @pytest.mark.parametrize("B,S,H,D", [
     (2, 256, 4, 64),    # DiT-S/B-like
     (1, 256, 16, 72),   # DiT-XL head_dim 72 (needs lane padding)
-    (2, 100, 4, 60),    # unaligned seq AND head dim
+    (2, 100, 4, 60),    # unaligned seq AND head dim (masked key rows)
     (1, 1024, 2, 72),   # 512x512 token count
 ])
 def test_matches_oracle(B, S, H, D):
@@ -36,16 +36,46 @@ def test_matches_oracle(B, S, H, D):
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
 
 
-def test_gradients_match_naive():
-    shape = (2, 64, 4, 32)
-    q = jax.random.normal(jax.random.PRNGKey(0), shape)
-    k = jax.random.normal(jax.random.PRNGKey(1), shape)
-    v = jax.random.normal(jax.random.PRNGKey(2), shape)
+@pytest.mark.parametrize("B,S,H,D", [
+    (2, 64, 4, 32),     # single q-block
+    (1, 300, 2, 72),    # padded seq + padded head dim (masked key rows)
+    (1, 1024, 2, 72),   # 512x512 token count: multiple q-blocks, dk/dv
+                        # accumulated across the q-block grid
+])
+def test_pallas_backward_matches_naive(B, S, H, D):
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
 
     ga = jax.grad(lambda *a: jnp.sum(flash_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
     gb = jax.grad(lambda *a: jnp.sum(naive_attention(*a) ** 2), argnums=(0, 1, 2))(q, k, v)
     for x, y in zip(ga, gb):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-4, atol=1e-5)
+
+
+def test_online_softmax_multi_k_block():
+    """Sequences beyond one K block stream K/V with running max/denominator;
+    result must be identical to single-pass softmax."""
+    B, S, H, D = 1, 1536, 1, 64  # 2 K blocks of 1024/512
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D))
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, H, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, H, D))
+    got = np.asarray(flash_attention(q, k, v))
+    np.testing.assert_allclose(got, np_attention(q, k, v), rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_gradients():
+    shape = (1, 128, 2, 64)
+    q, k, v = (jax.random.normal(jax.random.PRNGKey(i), shape, jnp.bfloat16)
+               for i in range(3))
+    loss = lambda att: lambda *a: jnp.sum(att(*a).astype(jnp.float32) ** 2)
+    ga = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(loss(naive_attention), argnums=(0, 1, 2))(q, k, v)
+    for x, y in zip(ga, gb):
+        assert x.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(y, np.float32),
+                                   rtol=1e-1, atol=1e-1)
 
 
 def test_bf16_io():
