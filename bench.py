@@ -21,7 +21,7 @@ BASELINE_STEPS_PER_SEC = 0.84  # 1xA100, reference README.md:113
 
 
 def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
-        attn_backend: str):
+        attn_backend: str, remat_policy: str = "nothing"):
     from fast_dit_tpu.diffusion import create_diffusion
     from fast_dit_tpu.models import DiT_models
     from fast_dit_tpu.train import create_train_state, make_train_step
@@ -29,7 +29,7 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
     latent = image_size // 8
     model = DiT_models[model_name](
         input_size=latent, dtype=jnp.bfloat16, remat=True,
-        attn_backend=attn_backend)
+        remat_policy=remat_policy, attn_backend=attn_backend)
     schedule = create_diffusion("").schedule
     # bf16 params + fp32 master weights + bf16 Adam first moment: the config
     # that fits XL/2 Adam training in 16 GB HBM (the reference's AMP fast
@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--accum", type=int, default=0, help="0 = auto")
     ap.add_argument("--attn-backend", default="auto")
+    ap.add_argument("--remat-policy", default="nothing",
+                    choices=["nothing", "attn", "attn_mlp"])
     ap.add_argument("--quick", action="store_true",
                     help="small model / batch smoke run")
     ap.add_argument("--metric", default="train", choices=["train", "sampling"],
@@ -92,7 +94,8 @@ def main():
     for accum in accum_plan:
         try:
             sps, loss = run(args.model, args.global_batch_size, accum,
-                            args.steps, args.image_size, args.attn_backend)
+                            args.steps, args.image_size, args.attn_backend,
+                            args.remat_policy)
             result = {
                 "metric": f"train steps/sec, {args.model} {args.image_size}x{args.image_size}, "
                           f"global bs {args.global_batch_size}, 1 chip",

@@ -50,6 +50,13 @@ class DiT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
     remat: bool = False  # gradient checkpointing per block (ring-2 feature)
+    # what the backward pass keeps instead of recomputing (only with remat):
+    #   "nothing"  — recompute the whole block (max memory headroom)
+    #   "attn"     — save per-block attention outputs (skips recomputing the
+    #                softmax region, the lowest-MFU part of the block, for
+    #                ~75 MB/block at XL/2 bs128 bf16)
+    #   "attn_mlp" — additionally save MLP outputs (2x the saved bytes)
+    remat_policy: str = "nothing"
     scan_unroll: int = 1  # lax.scan unroll factor over the block stack
 
     @property
@@ -93,10 +100,17 @@ class DiT(nn.Module):
 
         block = DiTBlock
         if self.remat:
+            policies = {
+                "nothing": jax.checkpoint_policies.nothing_saveable,
+                "attn": jax.checkpoint_policies.save_only_these_names(
+                    "attn_out"),
+                "attn_mlp": jax.checkpoint_policies.save_only_these_names(
+                    "attn_out", "mlp_out"),
+            }
             block = nn.remat(
                 DiTBlock,
                 prevent_cse=False,
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=policies[self.remat_policy],
             )
 
         class BlockStack(nn.Module):

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import dot_product_attention
 
@@ -232,11 +233,15 @@ class DiTBlock(nn.Module):
             self.hidden_size, self.num_heads, dtype=self.dtype,
             attn_backend=self.attn_backend, name="attn",
         )(modulate(_layer_norm(x, self.dtype), shift_msa, scale_msa))
+        # names are no-ops unless a selective remat policy saves them
+        # (models/dit.py remat_policy="attn"/"attn_mlp")
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + gate_msa[:, None, :] * attn_out
         mlp_out = Mlp(
             int(self.hidden_size * self.mlp_ratio), self.hidden_size,
             dtype=self.dtype, name="mlp",
         )(modulate(_layer_norm(x, self.dtype), shift_mlp, scale_mlp))
+        mlp_out = checkpoint_name(mlp_out, "mlp_out")
         x = x + gate_mlp[:, None, :] * mlp_out
         return x
 

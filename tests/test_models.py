@@ -236,6 +236,25 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("policy", ["attn", "attn_mlp"])
+def test_selective_remat_matches_no_remat(policy):
+    """Selective remat (save attention / MLP outputs instead of recomputing)
+    must be a pure speed/memory trade — outputs and grads unchanged."""
+    a = small_dit(remat=False)
+    b = small_dit(remat=True, remat_policy=policy)
+    params, x, t, y = init_and_apply(a)
+    params = jax.tree.map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(3), p.shape) * 0.02,
+        params)
+    np.testing.assert_allclose(np.asarray(a.apply(params, x, t, y)),
+                               np.asarray(b.apply(params, x, t, y)), atol=1e-6)
+    ga = jax.grad(lambda p: jnp.sum(a.apply(p, x, t, y) ** 2))(params)
+    gb = jax.grad(lambda p: jnp.sum(b.apply(p, x, t, y) ** 2))(params)
+    for pa, pb in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_512_config_shapes():
     """XL/2 at 512x512: 64x64 latents, 1024 tokens (SURVEY.md §5 sequence
     scaling) — shape-checked abstractly (no FLOPs)."""

@@ -59,7 +59,8 @@ def main(args):
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = DiT_models[args.model](
         input_size=latent_size, num_classes=args.num_classes,
-        dtype=dtype, remat=not args.no_remat, attn_backend=args.attn_backend)
+        dtype=dtype, remat=not args.no_remat, remat_policy=args.remat_policy,
+        attn_backend=args.attn_backend)
 
     mesh = create_mesh(model=args.tp)
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training process
@@ -226,6 +227,10 @@ def parse_args():
     parser.add_argument("--fp32", action="store_true", help="disable bf16 activations")
     parser.add_argument("--no-remat", action="store_true",
                         help="disable per-block gradient checkpointing")
+    parser.add_argument("--remat-policy", type=str, default="nothing",
+                        choices=["nothing", "attn", "attn_mlp"],
+                        help="selective remat: what the backward keeps "
+                             "instead of recomputing")
     parser.add_argument("--attn-backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--synthetic-data", action="store_true")
