@@ -79,6 +79,45 @@ def test_bench_quick():
 
 
 @pytest.mark.slow
+def test_fid_loop_end_to_end(tmp_path):
+    """The reference's quality loop, closed offline: train a tiny DiT ->
+    sample_ddp an npz of >=64 images -> evaluate_samples computes FID/KID/IS
+    with the injected random-projection feature net (reference
+    sample_ddp.py:9-10, README.md:116-125)."""
+    r = run_cli(
+        "train.py", "--model", "DiT-S/8", "--synthetic-data",
+        "--global-batch-size", "8", "--max-steps", "2", "--log-every", "1",
+        "--results-dir", str(tmp_path), "--epochs", "1", "--export-pt")
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = os.listdir(tmp_path)[0]
+    ckpt_dir = str(tmp_path / exp / "checkpoints")
+    pt = [f for f in os.listdir(ckpt_dir) if f.endswith("-ema.pt")][0]
+
+    sample_dir = tmp_path / "fid_samples"
+    r = run_cli("sample_ddp.py", "--model", "DiT-S/8",
+                "--ckpt", os.path.join(ckpt_dir, pt),
+                "--per-proc-batch-size", "16", "--num-fid-samples", "64",
+                "--num-sampling-steps", "2", "--cfg-scale", "1.0",
+                "--sample-dir", str(sample_dir), timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    npz = [f for f in os.listdir(sample_dir) if f.endswith(".npz")][0]
+    gen_npz = str(sample_dir / npz)
+    assert np.load(gen_npz)["arr_0"].shape == (64, 32, 32, 3)
+
+    # a synthetic "dataset" npz as the FID reference side
+    ref_npz = str(tmp_path / "ref.npz")
+    np.savez(ref_npz, arr_0=np.random.RandomState(0).randint(
+        0, 256, (64, 32, 32, 3), np.uint8))
+    r = run_cli("tools/evaluate_samples.py", "--generated", gen_npz,
+                "--reference", ref_npz, "--feature-net", "random")
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = dict(l.split(": ") for l in r.stdout.splitlines() if ": " in l)
+    for key in ("fid", "kid", "inception_score"):
+        assert key in out and np.isfinite(float(out[key])), (key, r.stdout)
+    assert float(out["fid"]) > 0
+
+
+@pytest.mark.slow
 def test_train_export_pt_then_sample_from_orbax(tmp_path):
     """train -> torch-compatible EMA export + orbax ckpt -> sample.py loads
     the orbax dir (the native train->sample loop)."""

@@ -32,6 +32,44 @@ def load_images(path, limit=None):
                      for f in files])
 
 
+def make_random_projection_fns(feature_dim=64, n_classes=100, seed=0):
+    """Deterministic offline stand-in for InceptionV3: 4x4-average-pooled
+    pixels through a fixed Gaussian projection (features for FID/KID) and a
+    second projection + softmax (class probabilities for IS). Not a trained
+    net — useful for exercising and regression-testing the full FID/KID/IS
+    pipeline end-to-end where no weights can be downloaded."""
+    rng = np.random.RandomState(seed)
+
+    def pooled(imgs):
+        x = imgs.astype(np.float64) / 127.5 - 1.0
+        n, h, w, c = x.shape
+        ph, pw = max(h // 8, 1), max(w // 8, 1)
+        x = x[:, : (h // ph) * ph, : (w // pw) * pw]
+        x = x.reshape(n, h // ph, ph, w // pw, pw, c).mean((2, 4))
+        return x.reshape(n, -1)
+
+    w_feat = w_cls = None
+
+    def feature_fn(imgs):
+        nonlocal w_feat
+        x = pooled(imgs)
+        if w_feat is None or w_feat.shape[0] != x.shape[1]:
+            w_feat = rng.randn(x.shape[1], feature_dim) / np.sqrt(x.shape[1])
+        return np.tanh(x @ w_feat)
+
+    def logits_fn(imgs):
+        nonlocal w_cls
+        x = pooled(imgs)
+        if w_cls is None or w_cls.shape[0] != x.shape[1]:
+            w_cls = np.random.RandomState(seed + 1).randn(
+                x.shape[1], n_classes) / np.sqrt(x.shape[1])
+        z = x @ w_cls
+        e = np.exp(z - z.max(1, keepdims=True))
+        return e / e.sum(1, keepdims=True)
+
+    return feature_fn, logits_fn
+
+
 def make_inception_fns():
     """(feature_fn, logits_fn) via keras InceptionV3, or (None, None)."""
     try:
@@ -70,6 +108,10 @@ def main():
     ap.add_argument("--tsed-poses", default=None,
                     help="npz with F matrices (key arr_0, one per adjacent "
                          "pair) for TSED consistency")
+    ap.add_argument("--feature-net", default="inception",
+                    choices=["inception", "random"],
+                    help="'random' = fixed-seed projection features (offline "
+                         "FID/KID/IS pipeline exercise; not a trained net)")
     args = ap.parse_args()
 
     from fast_dit_tpu.nvs import metrics
@@ -92,7 +134,9 @@ def main():
                 results["lpips"] = metrics.compute_lpips(a, b)
             except ImportError:
                 print("# lpips package unavailable; skipping LPIPS", file=sys.stderr)
-        feature_fn, logits_fn = make_inception_fns()
+        feature_fn, logits_fn = (make_random_projection_fns()
+                                 if args.feature_net == "random"
+                                 else make_inception_fns())
         if feature_fn is not None:
             results["fid"] = metrics.compute_fid(ref, gen, feature_fn)
             kid_mean, kid_std = metrics.compute_kid(ref, gen, feature_fn)
