@@ -30,8 +30,18 @@ def maybe_initialize_distributed():
     No-op for single-process runs. Set JAX_COORDINATOR_ADDRESS (+
     JAX_NUM_PROCESSES / JAX_PROCESS_ID, or rely on TPU metadata) to enable.
     """
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        # explicit local bring-up (e.g. the 2-process CPU test): JAX's
+        # auto-detection only covers managed clusters (TPU/SLURM/k8s)
+        jax.distributed.initialize(
+            coordinator_address=addr,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]))
+    else:
         jax.distributed.initialize()
 
 
