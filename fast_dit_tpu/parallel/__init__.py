@@ -8,12 +8,16 @@ from .mesh import (
     replicated_sharding,
     shard_params,
 )
+from .pipeline import create_pipeline_mesh, dit_pipeline_forward, pipeline_apply
 
 __all__ = [
     "batch_sharding",
     "create_mesh",
+    "create_pipeline_mesh",
     "dit_param_spec",
+    "dit_pipeline_forward",
     "param_shardings",
+    "pipeline_apply",
     "replicated_sharding",
     "shard_params",
 ]
