@@ -107,7 +107,7 @@ def pipeline_apply(block_fn, stacked_params, x, c, *, mesh: Mesh,
         per_stage, mesh=mesh,
         in_specs=(layer_spec, P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(stacked_params, mb_x, mb_c)
     return out.reshape(B, *x.shape[1:])
 
