@@ -21,7 +21,8 @@ BASELINE_STEPS_PER_SEC = 0.84  # 1xA100, reference README.md:113
 
 
 def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
-        attn_backend: str, remat_policy: str = "nothing"):
+        attn_backend: str, remat_policy: str = "nothing",
+        fused_optimizer: bool = False):
     from fast_dit_tpu.diffusion import create_diffusion
     from fast_dit_tpu.models import DiT_models
     from fast_dit_tpu.train import create_train_state, make_train_step
@@ -36,7 +37,8 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
     # path equivalent; fp32-Adam-state XL/2 needs ~17.2 GB)
     state, tx = create_train_state(model, jax.random.PRNGKey(0),
                                    mixed_precision=True,
-                                   mu_dtype=jnp.bfloat16)
+                                   mu_dtype=jnp.bfloat16,
+                                   fused_optimizer=fused_optimizer)
     step = jax.jit(
         make_train_step(model, schedule, tx, grad_accum=accum),
         donate_argnums=(0,),
@@ -68,9 +70,13 @@ def main():
     ap.add_argument("--image-size", type=int, default=256)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--accum", type=int, default=0, help="0 = auto")
+    ap.add_argument("--accum-plan", default="1,2,4",
+                    help="accumulation levels tried on OOM (fresh process each)")
     ap.add_argument("--attn-backend", default="auto")
     ap.add_argument("--remat-policy", default="nothing",
                     choices=["nothing", "attn", "attn_mlp"])
+    ap.add_argument("--fused-optimizer", action="store_true",
+                    help="single-sweep fused AdamW+EMA update")
     ap.add_argument("--quick", action="store_true",
                     help="small model / batch smoke run")
     ap.add_argument("--metric", default="train", choices=["train", "sampling"],
@@ -89,33 +95,45 @@ def main():
     if args.quick:
         args.model, args.global_batch_size, args.steps = "DiT-S/2", 16, 3
 
-    accum_plan = [args.accum] if args.accum else [1, 2, 4]
-    last_err = None
-    for accum in accum_plan:
-        try:
-            sps, loss = run(args.model, args.global_batch_size, accum,
-                            args.steps, args.image_size, args.attn_backend,
-                            args.remat_policy)
-            result = {
-                "metric": f"train steps/sec, {args.model} {args.image_size}x{args.image_size}, "
-                          f"global bs {args.global_batch_size}, 1 chip",
-                "value": round(sps, 4),
-                "unit": "steps/sec",
-                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
-            }
-            print(json.dumps(result))
-            return
-        except Exception as e:  # OOM -> retry with gradient accumulation
-            last_err = e
-            import gc
-            gc.collect()  # drop previous attempt's device buffers
-            msg = str(e)
-            if not any(s in msg for s in ("RESOURCE_EXHAUSTED", "Out of memory",
-                                          "Ran out of memory", "hbm capacity")):
-                raise
-            print(f"# accum={accum} OOM, retrying with more accumulation",
-                  file=sys.stderr)
-    raise last_err
+    accum_plan = ([args.accum] if args.accum
+                  else [int(a) for a in args.accum_plan.split(",")])
+    accum, rest = accum_plan[0], accum_plan[1:]
+    try:
+        sps, loss = run(args.model, args.global_batch_size, accum,
+                        args.steps, args.image_size, args.attn_backend,
+                        args.remat_policy, args.fused_optimizer)
+    except Exception as e:  # OOM -> retry with gradient accumulation
+        msg = str(e)
+        if args.accum or not rest or not any(
+                s in msg for s in ("RESOURCE_EXHAUSTED", "Out of memory",
+                                   "Ran out of memory", "hbm capacity")):
+            raise
+        # a failed attempt's buffers linger on this runtime even after
+        # gc (and the raised traceback pins them) — re-exec a FRESH
+        # process for the next accumulation level instead of retrying
+        # in-process
+        print(f"# accum={accum} OOM, re-exec with accum plan {rest}",
+              file=sys.stderr, flush=True)
+        import os
+        argv = [sys.executable, os.path.abspath(__file__),
+                "--model", args.model,
+                "--global-batch-size", str(args.global_batch_size),
+                "--image-size", str(args.image_size),
+                "--steps", str(args.steps),
+                "--attn-backend", args.attn_backend,
+                "--remat-policy", args.remat_policy,
+                "--accum-plan", ",".join(map(str, rest))]
+        if args.fused_optimizer:
+            argv.append("--fused-optimizer")
+        os.execv(sys.executable, argv)
+    result = {
+        "metric": f"train steps/sec, {args.model} {args.image_size}x{args.image_size}, "
+                  f"global bs {args.global_batch_size}, 1 chip",
+        "value": round(sps, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -46,7 +46,8 @@ def masterize(tx: optax.GradientTransformation) -> optax.GradientTransformation:
 
 
 def get_master_params(opt_state):
-    """fp32 master tree if the optimizer is masterized, else None."""
-    if isinstance(opt_state, MasterWeightsState):
+    """fp32 master tree if the optimizer keeps one (masterized optax chain
+    or the fused Pallas update state), else None."""
+    if hasattr(opt_state, "master"):
         return opt_state.master
     return None

@@ -23,6 +23,8 @@ from flax import struct
 
 from ..diffusion.gaussian import training_losses
 from ..diffusion.schedule import DiffusionSchedule
+from ..ops.fused_update import (FusedAdamWEmaState, fused_adamw_ema_apply,
+                                fused_adamw_ema_init)
 from ..parallel.mesh import batch_sharding, param_shardings, replicated_sharding
 from ..diffusion.timestep_samplers import sample_timesteps, update_with_losses
 from .mixed_precision import MasterWeightsState, get_master_params, masterize
@@ -56,16 +58,30 @@ def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.
                        optimizer: Optional[optax.GradientTransformation] = None,
                        mixed_precision: bool = False,
                        mu_dtype=None,
+                       fused_optimizer: bool = False,
                        sampler_state=None):
     """Init params + AdamW + warm-started EMA copy (reference train.py:147-179).
 
     With `mixed_precision`, model params are stored bf16 and the optimizer is
     wrapped with fp32 master weights (see mixed_precision.py); the EMA then
     tracks the fp32 master, as torch AMP's fp32 EMA does.
+
+    With `fused_optimizer` (implies mixed precision), the optimizer state is
+    the single-sweep AdamW+EMA update (`ops/fused_update.py`, ~2x the optax
+    chain's update speed at XL/2 scale) and the returned tx is None — pass
+    the same lr/weight_decay to make_train_step.
     """
     x = jnp.zeros((1, model.in_channels, model.input_size, model.input_size))
     params = model.init({"params": rng}, x, jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1,), jnp.int32))
+    if fused_optimizer:
+        params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
+        opt_state = fused_adamw_ema_init(
+            params, mu_dtype=mu_dtype or jnp.bfloat16)
+        ema = jax.tree.map(jnp.copy, opt_state.master)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          ema=ema, opt_state=opt_state,
+                          sampler_state=sampler_state), None
     tx = optimizer if optimizer is not None else optax.adamw(
         lr, weight_decay=weight_decay, mu_dtype=mu_dtype)
     if mixed_precision:
@@ -82,12 +98,14 @@ def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.
 def make_train_step(
     model,
     schedule: DiffusionSchedule,
-    tx: optax.GradientTransformation,
+    tx: Optional[optax.GradientTransformation],
     *,
     ema_decay: float = 0.9999,
     grad_accum: int = 1,
     log_grad_norm: bool = False,
     model_call: Optional[Callable] = None,
+    lr: float = 1e-4,
+    weight_decay: float = 0.0,
 ) -> Callable:
     """Build `train_step(state, batch, rng) -> (state, metrics)`.
 
@@ -167,11 +185,19 @@ def make_train_step(
             grads = jax.tree.map(lambda g: g / grad_accum, gsum)
             metrics = {k: v.mean() for k, v in ms.items()}
 
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        master = get_master_params(opt_state)
-        ema = update_ema(state.ema, master if master is not None else params,
-                         ema_decay)
+        if isinstance(state.opt_state, FusedAdamWEmaState):
+            # single-sweep AdamW + master + EMA (ops/fused_update.py);
+            # lr/weight_decay come from make_train_step's kwargs
+            params, opt_state, ema = fused_adamw_ema_apply(
+                state.opt_state, grads, state.params, state.ema,
+                lr=lr, weight_decay=weight_decay, ema_decay=ema_decay)
+        else:
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            master = get_master_params(opt_state)
+            ema = update_ema(state.ema,
+                             master if master is not None else params,
+                             ema_decay)
         new_state = TrainState(step=state.step + 1, params=params, ema=ema,
                                opt_state=opt_state, sampler_state=sampler_state)
         metrics = dict(metrics)
@@ -186,12 +212,14 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
                             fsdp: bool = False, ema_decay: float = 0.9999,
                             grad_accum: int = 1, log_grad_norm: bool = False,
                             model_call: Optional[Callable] = None,
+                            lr: float = 1e-4, weight_decay: float = 0.0,
                             example_state: TrainState = None):
     """jit the train step over a mesh: batch sharded on 'data', state sharded
     per the DiT param rules, state buffers donated."""
     step_fn = make_train_step(model, schedule, tx, ema_decay=ema_decay,
                               grad_accum=grad_accum, log_grad_norm=log_grad_norm,
-                              model_call=model_call)
+                              model_call=model_call, lr=lr,
+                              weight_decay=weight_decay)
     assert example_state is not None, "need an example state for sharding layout"
 
     rep = replicated_sharding(mesh)
@@ -202,6 +230,9 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
         # everything else (step counts, empty states) replicates
         if isinstance(node, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(count=rep, mu=pshard, nu=pshard)
+        if isinstance(node, FusedAdamWEmaState):
+            return FusedAdamWEmaState(count=rep, mu=pshard, nu=pshard,
+                                      master=pshard)
         if isinstance(node, MasterWeightsState):
             return MasterWeightsState(
                 master=pshard,
@@ -217,7 +248,8 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
         opt_state=jax.tree.map(
             opt_shardings, example_state.opt_state,
             is_leaf=lambda n: isinstance(
-                n, (optax.ScaleByAdamState, MasterWeightsState))),
+                n, (optax.ScaleByAdamState, MasterWeightsState,
+                    FusedAdamWEmaState))),
         sampler_state=jax.tree.map(lambda _: rep, example_state.sampler_state),
     )
 

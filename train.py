@@ -71,13 +71,14 @@ def main(args):
             args.schedule_sampler, diffusion.num_timesteps)
     state, tx = create_train_state(model, jax.random.PRNGKey(args.global_seed),
                                    lr=args.lr, mixed_precision=args.mixed_precision,
+                                   fused_optimizer=args.fused_optimizer,
                                    sampler_state=sampler_state)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"DiT Parameters: {n_params:,}")
 
     train_step, st_sh = make_sharded_train_step(
         model, diffusion.schedule, tx, mesh, tp=args.tp > 1, fsdp=args.fsdp,
-        grad_accum=args.grad_accum, ema_decay=args.ema_decay,
+        grad_accum=args.grad_accum, ema_decay=args.ema_decay, lr=args.lr,
         example_state=state)
     state = jax.device_put(state, st_sh)
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
@@ -239,6 +240,9 @@ def parse_args():
     parser.add_argument("--mixed-precision", action="store_true",
                         help="bf16 params + fp32 master weights (fits XL/2 "
                              "Adam training in 16GB HBM)")
+    parser.add_argument("--fused-optimizer", action="store_true",
+                        help="single-sweep fused AdamW+EMA update (implies "
+                             "mixed precision; ~2x faster optimizer step)")
     parser.add_argument("--max-steps", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--profile-dir", type=str, default=None,
