@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--attn-backend", default="auto")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cache-interval", type=int, default=1,
+                    help="FORA layer caching (1 = off/exact)")
     args = ap.parse_args()
 
     from fast_dit_tpu.diffusion import create_diffusion
@@ -50,16 +52,22 @@ def main():
     def run(params, rng):
         z = jax.random.normal(rng, (n, 4, latent, latent))
         if use_cfg:
-            zz = jnp.concatenate([z, z], 0)
-            fn = lambda x, t: model.apply(params, x, t, y,
-                                          method=model.forward_with_cfg,
-                                          cfg_scale=args.cfg_scale)
-            out = diffusion.p_sample_loop(fn, zz.shape, noise=zz, rng=rng,
+            z = jnp.concatenate([z, z], 0)
+            apply = lambda x, t, **kw: model.apply(
+                params, x, t, y, method=model.forward_with_cfg,
+                cfg_scale=args.cfg_scale, **kw)
+        else:
+            apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
+        if args.cache_interval > 1:
+            out = diffusion.p_sample_loop_cached(
+                lambda x, t: apply(x, t, want_cache=True),
+                lambda x, t, cache: apply(x, t, cache=cache),
+                z.shape, interval=args.cache_interval, noise=z, rng=rng,
+                clip_denoised=False)
+        else:
+            out = diffusion.p_sample_loop(apply, z.shape, noise=z, rng=rng,
                                           clip_denoised=False)
-            return out[:n]
-        fn = lambda x, t: model.apply(params, x, t, y)
-        return diffusion.p_sample_loop(fn, z.shape, noise=z, rng=rng,
-                                       clip_denoised=False)
+        return out[:n]
 
     float(run(params, jax.random.PRNGKey(0)).sum())  # compile + materialize
     times = []
@@ -73,7 +81,9 @@ def main():
         "metric": f"sampling images/sec/chip, {args.model} "
                   f"{args.image_size}x{args.image_size}, "
                   f"{args.num_sampling_steps} DDPM steps, cfg {args.cfg_scale}, "
-                  f"{args.dtype}, batch {n}",
+                  f"{args.dtype}, batch {n}"
+                  + (f", cache {args.cache_interval}"
+                     if args.cache_interval > 1 else ""),
         "value": round(n / p50, 4),
         "unit": "images/sec/chip",
         "p50_latency_sec": round(p50, 3),

@@ -34,7 +34,9 @@ from .gaussian import (
     vb_terms_bpd,
 )
 from .respace import space_timesteps
-from .sampling import ddim_reverse_sample_loop, ddim_sample_loop, p_sample_loop
+from .sampling import (ddim_reverse_sample_loop, ddim_sample_loop,
+                       ddim_sample_loop_cached, p_sample_loop,
+                       p_sample_loop_cached)
 from .schedule import (
     DiffusionSchedule,
     LossType,
@@ -147,6 +149,33 @@ class Diffusion:
             rng=rng, noise=noise, step_noise=step_noise, clip_denoised=clip_denoised,
             denoised_fn=denoised_fn, cond_fn=cond_fn, eta=eta,
             return_intermediates=return_intermediates, dtype=dtype,
+        )
+
+    def p_sample_loop_cached(self, model_full_fn, model_cached_fn, shape, *,
+                             interval, rng=None, noise=None, clip_denoised=True,
+                             denoised_fn=None, cond_fn=None, dtype=jnp.float32):
+        """DDPM sampling with the FORA-style layer cache: the full model runs
+        every `interval`-th step, cached steps reuse per-layer attention/MLP
+        outputs (sampling.py `_cached_loop`). model_full_fn(x, t) ->
+        (out, cache); model_cached_fn(x, t, cache) -> out."""
+        return p_sample_loop_cached(
+            model_full_fn, model_cached_fn, shape, self.schedule,
+            interval=interval, rng=rng, noise=noise,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_fn=cond_fn, dtype=dtype,
+        )
+
+    def ddim_sample_loop_cached(self, model_full_fn, model_cached_fn, shape, *,
+                                interval, rng=None, noise=None,
+                                clip_denoised=True, denoised_fn=None,
+                                cond_fn=None, eta=0.0, dtype=jnp.float32):
+        """DDIM sampling with the FORA-style layer cache (see
+        p_sample_loop_cached)."""
+        return ddim_sample_loop_cached(
+            model_full_fn, model_cached_fn, shape, self.schedule,
+            interval=interval, rng=rng, noise=noise,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_fn=cond_fn, eta=eta, dtype=dtype,
         )
 
     def ddim_reverse_sample_loop(self, model_fn, x_start, *, clip_denoised=True,

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 from . import gaussian
 from .schedule import DiffusionSchedule
 
-__all__ = ["p_sample_loop", "ddim_sample_loop", "ddim_reverse_sample_loop"]
+__all__ = ["p_sample_loop", "ddim_sample_loop", "ddim_reverse_sample_loop",
+           "p_sample_loop_cached", "ddim_sample_loop_cached"]
 
 
 def _init_noise(shape, noise, rng, dtype):
@@ -34,6 +35,30 @@ def _init_noise(shape, noise, rng, dtype):
         raise ValueError("either `noise` or `rng` must be provided")
     # fold_in with an index >= num steps: never collides with per-step keys
     return jax.random.normal(jax.random.fold_in(rng, 2 ** 30), shape, dtype)
+
+
+def _apply_step(step_kind, sched, model_output, x, t, n, *, clip_denoised,
+                denoised_fn, cond_grad, eta):
+    """One reverse-process update given the model output (shared by the
+    plain and cached loops)."""
+    if step_kind == "p":
+        return gaussian.p_sample_step(
+            sched, model_output, x, t, n,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_grad=cond_grad,
+        )
+    if step_kind == "ddim":
+        return gaussian.ddim_step(
+            sched, model_output, x, t, n, eta=eta,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+            cond_grad=cond_grad,
+        )
+    assert step_kind == "ddim_reverse"
+    return gaussian.ddim_reverse_step(
+        sched, model_output, x, t,
+        clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+        cond_grad=cond_grad,
+    )
 
 
 def _loop(
@@ -79,21 +104,9 @@ def _loop(
                 n = jax.random.normal(jax.random.fold_in(rng, i), shape, dtype)
         else:
             n = None
-        if step_kind == "p":
-            res = gaussian.p_sample_step(
-                sched, model_output, x, t, n,
-                clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_grad=cond_grad,
-            )
-        elif step_kind == "ddim":
-            res = gaussian.ddim_step(
-                sched, model_output, x, t, n, eta=eta,
-                clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_grad=cond_grad,
-            )
-        else:  # ddim_reverse
-            res = gaussian.ddim_reverse_step(
-                sched, model_output, x, t,
-                clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_grad=cond_grad,
-            )
+        res = _apply_step(step_kind, sched, model_output, x, t, n,
+                          clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                          cond_grad=cond_grad, eta=eta)
         ys = res.sample if return_intermediates else None
         return res.sample, ys
 
@@ -154,6 +167,139 @@ def ddim_sample_loop(
         "ddim", model_fn, shape, sched, rng=rng, noise=noise, step_noise=step_noise,
         clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_fn=cond_fn, eta=eta,
         return_intermediates=return_intermediates, dtype=dtype,
+    )
+
+
+def _cached_loop(
+    step_kind: str,
+    model_full_fn: Callable,
+    model_cached_fn: Callable,
+    shape,
+    sched: DiffusionSchedule,
+    *,
+    interval: int,
+    rng=None,
+    noise=None,
+    clip_denoised=True,
+    denoised_fn=None,
+    cond_fn=None,
+    eta=0.0,
+    dtype=jnp.float32,
+):
+    """Sampling loop with a FORA-style layer cache (arXiv:2407.01425).
+
+    Every `interval`-th step runs the full model and refreshes a per-layer
+    cache of attention/MLP branch outputs; the steps in between reuse the
+    cache through `model_cached_fn`, recomputing only the timestep-dependent
+    adaLN gates (~1% of the FLOPs). The k-step period is static, so the loop
+    compiles as one `lax.scan` over periods whose body holds 1 full + (k-1)
+    cached model calls — no data-dependent branching.
+
+    model_full_fn(x, t)        -> (model_output, cache)
+    model_cached_fn(x, t, cache) -> model_output
+
+    `interval=1` is exactly the plain loop (same step math and noise-key
+    schedule as `_loop`, equal up to XLA op-reordering). An approximation
+    for interval > 1.
+    """
+    assert step_kind in ("p", "ddim")
+    assert interval >= 1
+    if noise is not None:
+        shape = noise.shape
+    x = _init_noise(shape, noise, rng, dtype)
+    B = shape[0]
+    T = sched.num_timesteps
+    k = interval
+    needs_noise = step_kind == "p" or eta != 0.0
+    if needs_noise and rng is None:
+        raise ValueError("stochastic sampling needs `rng`")
+
+    def one_step(x, cache, k_step, j):
+        """Sub-step j of a period; j == 0 refreshes the cache."""
+        i = T - 1 - k_step  # timestep index (reverse order, as in _loop)
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        t_model = sched.timestep_map[t]
+        if j == 0:
+            model_output, cache = model_full_fn(x, t_model)
+        else:
+            model_output = model_cached_fn(x, t_model, cache)
+        cond_grad = cond_fn(x, t_model) if cond_fn is not None else None
+        n = (jax.random.normal(jax.random.fold_in(rng, i), shape, dtype)
+             if needs_noise else None)
+        res = _apply_step(step_kind, sched, model_output, x, t, n,
+                          clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                          cond_grad=cond_grad, eta=eta)
+        return res.sample, cache
+
+    n_periods = T // k
+
+    # period 0 runs un-scanned: its first full call materializes the cache
+    # pytree the scan carry needs (if T < k, this IS the whole loop)
+    cache = None
+    head = min(k, T)
+    for j in range(head):
+        x, cache = one_step(x, cache, j, j)
+    steps_done = head
+
+    if n_periods > 1:
+        def period(carry, p):
+            x, cache = carry
+            for j in range(k):
+                x, cache = one_step(x, cache, p * k + j, j)
+            return (x, cache), None
+
+        (x, cache), _ = jax.lax.scan(
+            period, (x, cache), jnp.arange(1, n_periods))
+        steps_done = n_periods * k
+
+    # leftover steps when k doesn't divide T (tail period, full-first)
+    for j in range(T - steps_done):
+        x, cache = one_step(x, cache, steps_done + j, j)
+    return x
+
+
+def p_sample_loop_cached(
+    model_full_fn: Callable,
+    model_cached_fn: Callable,
+    shape,
+    sched: DiffusionSchedule,
+    *,
+    interval: int,
+    rng: Optional[jax.Array] = None,
+    noise=None,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    dtype=jnp.float32,
+):
+    """DDPM ancestral sampling with the FORA layer cache (see _cached_loop)."""
+    return _cached_loop(
+        "p", model_full_fn, model_cached_fn, shape, sched, interval=interval,
+        rng=rng, noise=noise, clip_denoised=clip_denoised,
+        denoised_fn=denoised_fn, cond_fn=cond_fn, dtype=dtype,
+    )
+
+
+def ddim_sample_loop_cached(
+    model_full_fn: Callable,
+    model_cached_fn: Callable,
+    shape,
+    sched: DiffusionSchedule,
+    *,
+    interval: int,
+    rng: Optional[jax.Array] = None,
+    noise=None,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    cond_fn=None,
+    eta: float = 0.0,
+    dtype=jnp.float32,
+):
+    """DDIM sampling with the FORA layer cache (see _cached_loop)."""
+    return _cached_loop(
+        "ddim", model_full_fn, model_cached_fn, shape, sched, interval=interval,
+        rng=rng, noise=noise, clip_denoised=clip_denoised,
+        denoised_fn=denoised_fn, cond_fn=cond_fn, eta=eta, dtype=dtype,
     )
 
 

@@ -78,11 +78,20 @@ class DiT(nn.Module):
         return x.reshape(x.shape[0], c, h * p, w * p)
 
     @nn.compact
-    def __call__(self, x, t, y, *, train: bool = False, force_drop_ids=None):
+    def __call__(self, x, t, y, *, train: bool = False, force_drop_ids=None,
+                 cache=None, want_cache: bool = False):
         """x: (B, C, H, W), t: (B,) int timesteps, y: (B,) int labels.
 
         Returns (B, out_channels, H, W). When `train` and class_dropout_prob
         > 0, labels are dropped to the null class using the 'label_drop' rng.
+
+        Layer cache (FORA-style sampling acceleration, used by the cached
+        sampler loops in diffusion/sampling.py):
+        - `want_cache=True`: also return a (attn_outs, mlp_outs) pytree with
+          a leading layer axis — the per-block branch outputs.
+        - `cache=(attn_outs, mlp_outs)`: skip attention/MLP entirely and
+          reuse the cached branch outputs with fresh adaLN gates (the only
+          part that depends on the current timestep).
         """
         B = x.shape[0]
         x = PatchEmbed(self.patch_size, self.hidden_size, dtype=self.dtype,
@@ -114,19 +123,36 @@ class DiT(nn.Module):
             )
 
         class BlockStack(nn.Module):
-            """Scan body: carry (x, c) through `depth` stacked blocks."""
+            """Scan body: carry (x, c) through `depth` stacked blocks.
+
+            Three scanned entry points over the same stacked params:
+            `__call__` (plain), `collect` (emit per-layer branch outputs as
+            scan ys), `reuse` (consume them as scan xs — the cached path).
+            """
             hidden_size: int
             num_heads: int
             mlp_ratio: float
             dtype: jnp.dtype
             attn_backend: str
 
-            @nn.compact
+            def setup(self):
+                self.block = block(self.hidden_size, self.num_heads,
+                                   mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                                   attn_backend=self.attn_backend)
+
             def __call__(self, carry, _):
                 xs, cs = carry
-                xs = block(self.hidden_size, self.num_heads,
-                           mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                           attn_backend=self.attn_backend, name="block")(xs, cs)
+                xs = self.block(xs, cs)
+                return (xs, cs), None
+
+            def collect(self, carry, _):
+                xs, cs = carry
+                xs, branch_outs = self.block.full_step(xs, cs)
+                return (xs, cs), branch_outs
+
+            def reuse(self, carry, cache_l):
+                xs, cs = carry
+                xs = self.block.cached_step(xs, cs, *cache_l)
                 return (xs, cs), None
 
         stack = nn.scan(
@@ -136,16 +162,27 @@ class DiT(nn.Module):
             length=self.depth,
             unroll=self.scan_unroll,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
+            methods=["__call__", "collect", "reuse"],
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
           self.attn_backend, name="blocks")
-        (x, _), _ = stack((x, c), None)
+        new_cache = None
+        if cache is not None:
+            (x, _), _ = stack.reuse((x, c), cache)
+        elif want_cache:
+            (x, _), new_cache = stack.collect((x, c), None)
+        else:
+            (x, _), _ = stack((x, c), None)
 
         x = FinalLayer(self.hidden_size, self.patch_size, self.out_channels,
                        dtype=self.dtype, name="final_layer")(x, c)
         x = self.unpatchify(x)
-        return x.astype(jnp.float32)
+        x = x.astype(jnp.float32)
+        if want_cache:
+            return x, new_cache
+        return x
 
-    def forward_with_cfg(self, x, t, y, cfg_scale, *, guidance_channels: int = 3):
+    def forward_with_cfg(self, x, t, y, cfg_scale, *, guidance_channels: int = 3,
+                         cache=None, want_cache: bool = False):
         """Classifier-free-guidance doubled-batch forward
         (reference models_original.py:250-266).
 
@@ -156,12 +193,17 @@ class DiT(nn.Module):
         """
         half = x[: x.shape[0] // 2]
         combined = jnp.concatenate([half, half], axis=0)
-        model_out = self(combined, t, y)
+        model_out = self(combined, t, y, cache=cache, want_cache=want_cache)
+        if want_cache:
+            model_out, new_cache = model_out
         eps, rest = model_out[:, :guidance_channels], model_out[:, guidance_channels:]
         cond_eps, uncond_eps = jnp.split(eps, 2, axis=0)
         half_eps = uncond_eps + cfg_scale * (cond_eps - uncond_eps)
         eps = jnp.concatenate([half_eps, half_eps], axis=0)
-        return jnp.concatenate([eps, rest], axis=1)
+        out = jnp.concatenate([eps, rest], axis=1)
+        if want_cache:
+            return out, new_cache
+        return out
 
 
 def dit_config(depth, hidden_size, patch_size, num_heads):

@@ -214,6 +214,12 @@ class DiTBlock(nn.Module):
 
     The 6 modulation params (shift/scale/gate for attn and mlp) come from
     SiLU(c) -> Dense(6D) initialized to zero, so the block starts as identity.
+
+    setup-style (not compact) so three entry points can share the params:
+    `__call__` (the standard block), `full_step` (also returns the attention
+    and MLP branch outputs), and `cached_step` (reuses previously computed
+    branch outputs with fresh adaLN gates — the FORA-style layer cache for
+    sampling, see diffusion/sampling.py cached loops).
     """
 
     hidden_size: int
@@ -222,26 +228,48 @@ class DiTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        self.adaLN_modulation = nn.Dense(
+            6 * self.hidden_size, kernel_init=zeros_init,
+            bias_init=zeros_init, dtype=self.dtype)
+        self.attn = Attention(self.hidden_size, self.num_heads,
+                              dtype=self.dtype, attn_backend=self.attn_backend)
+        self.mlp = Mlp(int(self.hidden_size * self.mlp_ratio),
+                       self.hidden_size, dtype=self.dtype)
+        # LayerNorms carry no params; instances exist only so non-compact
+        # methods can use them
+        self.norm1 = nn.LayerNorm(epsilon=1e-6, use_bias=False,
+                                  use_scale=False, dtype=self.dtype)
+        self.norm2 = nn.LayerNorm(epsilon=1e-6, use_bias=False,
+                                  use_scale=False, dtype=self.dtype)
+
+    def _modulation(self, c):
+        mod = self.adaLN_modulation(nn.silu(c))
+        return jnp.split(mod, 6, axis=-1)
+
     def __call__(self, x, c):
-        mod = nn.Dense(6 * self.hidden_size, kernel_init=zeros_init,
-                       bias_init=zeros_init, dtype=self.dtype,
-                       name="adaLN_modulation")(nn.silu(c))
+        x, _ = self.full_step(x, c)
+        return x
+
+    def full_step(self, x, c):
+        """Block forward that also returns (attn_out, mlp_out) for caching."""
         (shift_msa, scale_msa, gate_msa,
-         shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
-        attn_out = Attention(
-            self.hidden_size, self.num_heads, dtype=self.dtype,
-            attn_backend=self.attn_backend, name="attn",
-        )(modulate(_layer_norm(x, self.dtype), shift_msa, scale_msa))
+         shift_mlp, scale_mlp, gate_mlp) = self._modulation(c)
+        attn_out = self.attn(modulate(self.norm1(x), shift_msa, scale_msa))
         # names are no-ops unless a selective remat policy saves them
         # (models/dit.py remat_policy="attn"/"attn_mlp")
         attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + gate_msa[:, None, :] * attn_out
-        mlp_out = Mlp(
-            int(self.hidden_size * self.mlp_ratio), self.hidden_size,
-            dtype=self.dtype, name="mlp",
-        )(modulate(_layer_norm(x, self.dtype), shift_mlp, scale_mlp))
+        mlp_out = self.mlp(modulate(self.norm2(x), shift_mlp, scale_mlp))
         mlp_out = checkpoint_name(mlp_out, "mlp_out")
+        x = x + gate_mlp[:, None, :] * mlp_out
+        return x, (attn_out, mlp_out)
+
+    def cached_step(self, x, c, attn_out, mlp_out):
+        """Residual update reusing cached branch outputs: only the adaLN
+        gates (a Dense on c) are recomputed — ~1% of the block's FLOPs."""
+        (_, _, gate_msa, _, _, gate_mlp) = self._modulation(c)
+        x = x + gate_msa[:, None, :] * attn_out
         x = x + gate_mlp[:, None, :] * mlp_out
         return x
 

@@ -45,13 +45,18 @@ def _has_pallas_support() -> bool:
 
 def resolve_backend(backend: str, seq_len: int = 256) -> str:
     if backend == "auto":
-        # Measured on v5e inside the FULL DiT-XL/2 block stack (bs128):
-        # fwd 216ms (xla) vs 339ms (pallas) — the custom call breaks XLA's
-        # surrounding fusions at these small sequence lengths even though the
-        # kernel wins in isolation. Keep "pallas" available explicitly (it is
-        # also the more PRECISE path for fp32 parity work: 9e-7 vs ~5e-3
-        # against an fp64 oracle).
-        return "xla"
+        if not _has_pallas_support():
+            return "xla"
+        # Measured on v5e inside the FULL DiT-XL/2 model (docs/ABLATIONS.md):
+        # - 256 tokens (256² p2): XLA wins (1.40 vs 0.98 img/s sampling) —
+        #   the custom call breaks XLA's surrounding fusions at short
+        #   sequences even though the kernel wins in isolation.
+        # - 1024 tokens (512² p2): the flash kernel wins (0.216 vs 0.182
+        #   img/s, +19%) — the K/V-blocked online softmax pays off once the
+        #   score matrix dominates.
+        # The kernel is also the more PRECISE path for fp32 parity work:
+        # 9e-7 vs ~5e-3 against an fp64 oracle.
+        return "pallas" if seq_len >= 512 else "xla"
     return backend
 
 

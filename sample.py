@@ -86,16 +86,27 @@ def main(args):
                               (n, 4, latent_size, latent_size))
         if use_cfg:
             z = jnp.concatenate([z, z], axis=0)
-            model_fn = lambda x, t: model.apply(
+            apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
-                cfg_scale=args.cfg_scale)
+                cfg_scale=args.cfg_scale, **kw)
         else:
-            model_fn = lambda x, t: model.apply(params, x, t, y)
-        loop = (diffusion.p_sample_loop if args.sampler == "ddpm"
-                else diffusion.ddim_sample_loop)
-        samples = loop(
-            model_fn, z.shape, noise=z, rng=jax.random.fold_in(rng, 1),
-            clip_denoised=False)
+            apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
+        if args.cache_interval > 1:
+            # FORA-style layer cache: full model every k-th step, cached
+            # adaLN-gate-only steps in between (diffusion/sampling.py)
+            loop = (diffusion.p_sample_loop_cached if args.sampler == "ddpm"
+                    else diffusion.ddim_sample_loop_cached)
+            samples = loop(
+                lambda x, t: apply(x, t, want_cache=True),
+                lambda x, t, cache: apply(x, t, cache=cache),
+                z.shape, interval=args.cache_interval, noise=z,
+                rng=jax.random.fold_in(rng, 1), clip_denoised=False)
+        else:
+            loop = (diffusion.p_sample_loop if args.sampler == "ddpm"
+                    else diffusion.ddim_sample_loop)
+            samples = loop(
+                apply, z.shape, noise=z, rng=jax.random.fold_in(rng, 1),
+                clip_denoised=False)
         samples = samples[:n]  # keep the conditional half (reference :64)
         if vae_params is not None:
             return vae.apply(vae_params, samples / VAE_SCALE, method=vae.decode)
@@ -135,6 +146,11 @@ def parse_args():
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations for faster sampling")
+    parser.add_argument("--cache-interval", type=int, default=1,
+                        help="FORA layer caching: run the full model every "
+                             "k-th step, reuse per-layer attention/MLP "
+                             "outputs in between (1 = off/exact; 2-3 trades "
+                             "a little fidelity for ~1.5-2.5x speed)")
     parser.add_argument("--sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim"],
                         help="ddim pairs naturally with --num-sampling-steps "
