@@ -75,8 +75,10 @@ def main():
     ap.add_argument("--attn-backend", default="auto")
     ap.add_argument("--remat-policy", default="nothing",
                     choices=["nothing", "attn", "attn_mlp"])
-    ap.add_argument("--fused-optimizer", action="store_true",
-                    help="single-sweep fused AdamW+EMA update")
+    ap.add_argument("--fused-optimizer", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="single-sweep fused AdamW+EMA update (best measured "
+                         "config; --no-fused-optimizer for the optax chain)")
     ap.add_argument("--quick", action="store_true",
                     help="small model / batch smoke run")
     ap.add_argument("--metric", default="train", choices=["train", "sampling"],
@@ -123,8 +125,8 @@ def main():
                 "--attn-backend", args.attn_backend,
                 "--remat-policy", args.remat_policy,
                 "--accum-plan", ",".join(map(str, rest))]
-        if args.fused_optimizer:
-            argv.append("--fused-optimizer")
+        argv.append("--fused-optimizer" if args.fused_optimizer
+                    else "--no-fused-optimizer")
         os.execv(sys.executable, argv)
     result = {
         "metric": f"train steps/sec, {args.model} {args.image_size}x{args.image_size}, "

@@ -134,23 +134,29 @@ def main(args):
         z = shard_batchwise(z)
         y = jax.random.randint(jax.random.fold_in(rng, 1), (n,), 0, args.num_classes)
         y = shard_batchwise(y)
-        loop = (diffusion.p_sample_loop if sampler_kind == "ddpm"
-                else diffusion.ddim_sample_loop)
         if using_cfg:
-            zz = jnp.concatenate([z, z], 0)
+            z = jnp.concatenate([z, z], 0)
             yy = jnp.concatenate([y, jnp.full((n,), 1000)], 0)
-            model_fn = lambda x, t: model.apply(
+            apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
-                cfg_scale=args.cfg_scale)
-            samples = loop(
-                model_fn, zz.shape, noise=zz, rng=jax.random.fold_in(rng, 2),
-                clip_denoised=False)
-            samples = samples[:n]  # remove null-class half
+                cfg_scale=args.cfg_scale, **kw)
         else:
-            model_fn = lambda x, t: model.apply(params, x, t, y)
+            apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
+        if args.cache_interval > 1:
+            loop = (diffusion.p_sample_loop_cached if sampler_kind == "ddpm"
+                    else diffusion.ddim_sample_loop_cached)
             samples = loop(
-                model_fn, z.shape, noise=z, rng=jax.random.fold_in(rng, 2),
+                lambda x, t: apply(x, t, want_cache=True),
+                lambda x, t, cache: apply(x, t, cache=cache),
+                z.shape, interval=args.cache_interval, noise=z,
+                rng=jax.random.fold_in(rng, 2), clip_denoised=False)
+        else:
+            loop = (diffusion.p_sample_loop if sampler_kind == "ddpm"
+                    else diffusion.ddim_sample_loop)
+            samples = loop(
+                apply, z.shape, noise=z, rng=jax.random.fold_in(rng, 2),
                 clip_denoised=False)
+        samples = samples[:n]  # under CFG: remove the null-class half
         if vae_params is not None:
             samples = vae.apply(vae_params, samples / VAE_SCALE, method=vae.decode)
         else:
@@ -211,6 +217,9 @@ if __name__ == "__main__":
     parser.add_argument("--io-threads", type=int, default=16)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations for faster sampling")
+    parser.add_argument("--cache-interval", type=int, default=1,
+                        help="FORA layer caching: full model every k-th "
+                             "step (1 = off/exact; approximate for k > 1)")
     parser.add_argument("--sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim"])
     main(parser.parse_args())

@@ -184,6 +184,12 @@ def main(args):
         if done:
             break
 
+    # training is over: stop swallowing signals. (The handler above exists so
+    # a SIGTERM mid-epoch checkpoints before exit; leaving it installed made
+    # the process unkillable-by-SIGTERM during the final save below.)
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    signal.signal(signal.SIGINT, signal.SIG_DFL)
+
     if args.profile_dir:
         jax.profiler.stop_trace()
         logger.info(f"Wrote profiler trace to {args.profile_dir}")
