@@ -25,6 +25,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from fast_dit_tpu.utils.platform import maybe_force_cpu
+    maybe_force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="DiT-XL/2")
     ap.add_argument("--image-size", type=int, default=256)
@@ -43,13 +45,21 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = DiT_models[args.model](input_size=latent, dtype=dtype)
     if args.ckpt:
-        from fast_dit_tpu.ckpt import find_model
-        params = {"params": find_model(args.ckpt, model=model)}
+        from fast_dit_tpu.ckpt import find_model, state_dict_to_flax
+        sd = find_model(args.ckpt)
+        params = {"params": jax.tree.map(
+            jnp.asarray, state_dict_to_flax(sd, model.depth, model.num_heads))}
     else:
         params = model.init({"params": jax.random.PRNGKey(0)},
                             jnp.zeros((1, 4, latent, latent)),
                             jnp.zeros((1,), jnp.int32),
                             jnp.zeros((1,), jnp.int32))
+        # fresh init has ZERO adaLN gates and head -> every block is the
+        # identity and the cache is trivially exact; perturb (as sample.py's
+        # --ckpt random does) so the blocks actually contribute
+        params = jax.tree.map(
+            lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(1),
+                                                   p.shape, p.dtype), params)
     diffusion = create_diffusion(str(args.num_sampling_steps))
     n = args.batch
     y = jnp.concatenate([jnp.arange(n) % 1000, jnp.full((n,), 1000)])

@@ -19,6 +19,8 @@ import jax.numpy as jnp
 
 
 def main():
+    from fast_dit_tpu.utils.platform import maybe_force_cpu
+    maybe_force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="DiT-XL/2")
     ap.add_argument("--image-size", type=int, default=256)
