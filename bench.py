@@ -79,9 +79,10 @@ def main():
     ap.add_argument("--remat-policy", default="nothing",
                     choices=["nothing", "attn", "attn_mlp"])
     ap.add_argument("--fused-optimizer", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="single-sweep fused AdamW+EMA update (best measured "
-                         "config; --no-fused-optimizer for the optax chain)")
+                    default=False,
+                    help="single-sweep fused AdamW+EMA update (measured "
+                         "performance-neutral vs the optax chain once timing "
+                         "is tunnel-RTT-corrected; see docs/ABLATIONS.md)")
     ap.add_argument("--quick", action="store_true",
                     help="small model / batch smoke run")
     ap.add_argument("--metric", default="train", choices=["train", "sampling"],

@@ -41,6 +41,11 @@ def xl_tree():
 
 
 def main():
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from fast_dit_tpu.utils.platform import maybe_force_cpu
+    maybe_force_cpu()
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--variants", default="optax,xla,pallas")
@@ -57,24 +62,43 @@ def main():
     lr, ema_d = 1e-4, 0.9999
 
     def time_step(step, state):
+        # host-sync EVERY step by fetching one element of the updated ema:
+        # on this runtime, bare block_until_ready over a chain of donated
+        # programs has produced phantom timings (CLAUDE.md). The fetch
+        # depends on the step's output, so it cannot complete early. The
+        # per-step tunnel round-trip biases all variants equally; it is
+        # measured separately below and reported as rtt_ms so the
+        # execution-only cost is value - rtt.
+        def sync(s):
+            return float(jax.tree.leaves(s[2])[0].ravel()[0])
+
         state = step(state)          # compile + warm
-        jax.block_until_ready(state)
+        sync(state)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state = step(state)
-        jax.block_until_ready(state)
-        return (time.perf_counter() - t0) / args.steps
+            sync(state)
+        per_step = (time.perf_counter() - t0) / args.steps
+        # pure fetch round-trip on an already-materialized buffer
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            sync(state)
+        rtt = (time.perf_counter() - t0) / args.steps
+        return per_step, rtt
 
     results = {}
 
     def finish(name, step, state):
-        results[name] = time_step(step, state)
+        per_step, rtt = time_step(step, state)
+        results[name] = per_step
         # print immediately: on this runtime, back-to-back ~12 GB
         # alloc/free cycles can still exhaust HBM (prefer one variant per
         # process), and partial results should survive that
         print(json.dumps({
             "metric": f"optimizer+EMA update ({name}), {n/1e6:.0f}M params",
-            "value": round(results[name] * 1e3, 2), "unit": "ms/step"}),
+            "value": round(per_step * 1e3, 2), "unit": "ms/step",
+            "rtt_ms": round(rtt * 1e3, 2),
+            "exec_ms": round((per_step - rtt) * 1e3, 2)}),
             flush=True)
         step.clear_cache()
 
@@ -136,7 +160,4 @@ def main():
 
 
 if __name__ == "__main__":
-    import os
-    import sys
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     main()

@@ -1,16 +1,10 @@
 """Fused AdamW + master-weight + EMA update in one bandwidth-bound sweep.
 
 The reference runs `opt.step()` then a separate Python EMA lerp
-(`/root/reference/train.py:206-207,40-51`). The optax equivalent
-(adamw + masterize + update_ema, `train/train_lib.py`) is a chain of
-tree_maps XLA lowers into several full sweeps over the optimizer state —
-at DiT-XL/2 (675M params, mixed precision) that's ~69 ms/step on a v5e
-against a ~24 ms single-pass bandwidth floor.
-
-This module fuses the whole update — Adam moments, master weights, weight
-decay, EMA, bf16 param cast — into one elementwise pass (`_update_math`).
-Math follows optax.adamw with mu stored in `mu_dtype` (bias-corrected
-estimates computed in fp32):
+(`/root/reference/train.py:206-207,40-51`). This module fuses the whole
+update — Adam moments, master weights, weight decay, EMA, bf16 param cast —
+into one elementwise pass (`_update_math`). Math follows optax.adamw with
+mu stored in `mu_dtype` (bias-corrected estimates computed in fp32):
 
     m <- b1 m + (1-b1) g           (stored in mu_dtype)
     v <- b2 v + (1-b2) g^2         (fp32)
@@ -19,18 +13,20 @@ estimates computed in fp32):
     ema    <- d ema + (1-d) master
     param  <- master.astype(param.dtype)
 
-Two lowerings of the same math, both measured at XL/2 scale on a v5e
-(benchmarks/optimizer_bench.py; optax chain = 68.7 ms/step):
+Measured at XL/2 scale (675M params) on a v5e with RTT-corrected per-step
+sync (benchmarks/optimizer_bench.py, docs/ABLATIONS.md): the optax chain
+(adamw + masterize + update_ema) and this hand-fused sweep BOTH execute in
+~37 ms against a ~24 ms bandwidth floor — XLA already fuses the optax
+tree_map chain into a near-single sweep, so this path is performance-
+neutral, kept as a tested option and as the substrate for flat-state
+layouts. Two lowerings:
 
-- default (XLA): `_update_math` under one tree.map; XLA fuses it into a
-  single sweep per leaf — **36.0 ms/step**. Works with any sharding
-  (it is plain jnp, GSPMD partitions it like everything else).
-- `use_pallas=True`: a Pallas kernel over (rows, 128) tiles —
-  **42.1 ms/step on a flat lane-aligned buffer, and OOM-prone on real
-  param trees**: reshaping a (…, 16, 72)-shaped leaf to (rows, 128) is a
-  physical TPU layout change, so XLA inserts copies that both break the
-  in-place aliasing and add traffic. Kept as the explicit-kernel option
-  and for future flat-state layouts; not the production path.
+- default (XLA): `_update_math` under one tree.map; works with any
+  sharding (plain jnp — GSPMD partitions it like everything else).
+- `use_pallas=True`: a Pallas kernel over (rows, 128) tiles. Loses on
+  real param trees: reshaping a (…, 16, 72)-shaped leaf to (rows, 128) is
+  a physical TPU layout change, so XLA inserts copies that break the
+  in-place aliasing (OOM at 675M) and add traffic.
 """
 
 from __future__ import annotations

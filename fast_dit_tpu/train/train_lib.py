@@ -75,6 +75,12 @@ def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.
     params = model.init({"params": rng}, x, jnp.zeros((1,), jnp.int32),
                         jnp.zeros((1,), jnp.int32))
     if fused_optimizer:
+        # the fused update bakes AdamW into the train step; a custom optax
+        # chain cannot be combined with it, and lr/weight_decay take effect
+        # via make_train_step's kwargs, not here
+        assert optimizer is None, (
+            "fused_optimizer replaces the optax optimizer; pass one or the "
+            "other (and pass lr/weight_decay to make_train_step)")
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         opt_state = fused_adamw_ema_init(
             params, mu_dtype=mu_dtype or jnp.bfloat16)

@@ -38,7 +38,6 @@ def make_random_projection_fns(feature_dim=64, n_classes=100, seed=0):
     second projection + softmax (class probabilities for IS). Not a trained
     net — useful for exercising and regression-testing the full FID/KID/IS
     pipeline end-to-end where no weights can be downloaded."""
-    rng = np.random.RandomState(seed)
 
     def pooled(imgs):
         x = imgs.astype(np.float64) / 127.5 - 1.0
@@ -48,21 +47,36 @@ def make_random_projection_fns(feature_dim=64, n_classes=100, seed=0):
         x = x.reshape(n, h // ph, ph, w // pw, pw, c).mean((2, 4))
         return x.reshape(n, -1)
 
+    # FID/KID/IS compare statistics in ONE feature space: every call must
+    # project through the same matrix. The projection is pinned to the
+    # first batch's pooled dim; mixing resolutions would silently compare
+    # unrelated spaces, so reject it loudly instead.
     w_feat = w_cls = None
+
+    def _check_dim(w, x):
+        if w.shape[0] != x.shape[1]:
+            raise ValueError(
+                f"image sets have different pooled feature dims "
+                f"({w.shape[0]} vs {x.shape[1]}): reference and generated "
+                f"sets must share one resolution for random-projection "
+                f"FID/KID/IS to be meaningful")
 
     def feature_fn(imgs):
         nonlocal w_feat
         x = pooled(imgs)
-        if w_feat is None or w_feat.shape[0] != x.shape[1]:
-            w_feat = rng.randn(x.shape[1], feature_dim) / np.sqrt(x.shape[1])
+        if w_feat is None:
+            w_feat = np.random.RandomState(seed).randn(
+                x.shape[1], feature_dim) / np.sqrt(x.shape[1])
+        _check_dim(w_feat, x)
         return np.tanh(x @ w_feat)
 
     def logits_fn(imgs):
         nonlocal w_cls
         x = pooled(imgs)
-        if w_cls is None or w_cls.shape[0] != x.shape[1]:
+        if w_cls is None:
             w_cls = np.random.RandomState(seed + 1).randn(
                 x.shape[1], n_classes) / np.sqrt(x.shape[1])
+        _check_dim(w_cls, x)
         z = x @ w_cls
         e = np.exp(z - z.max(1, keepdims=True))
         return e / e.sum(1, keepdims=True)

@@ -205,6 +205,12 @@ def main(args):
         torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
                    f"{experiment_dir}/checkpoints/{train_steps:07d}-ema.pt")
         logger.info(f"Exported torch-compatible EMA checkpoint at step {train_steps}")
+    elif args.export_pt:
+        logger.warning(
+            "--export-pt skipped: torch export needs a full local copy of "
+            "the EMA and runs single-host only (device_get raises on "
+            "multi-host shardings); convert the orbax checkpoint offline "
+            "with ckpt/torch_import.flax_to_state_dict instead")
     ckpt_mgr.close()
     logger.info("Done!")
 
