@@ -102,3 +102,21 @@ def test_jit_and_vmap_compose():
     q, k, v = (jax.random.normal(jax.random.PRNGKey(i), shape) for i in range(3))
     out = jax.jit(flash_attention)(q, k, v)
     assert out.shape == shape
+
+
+def test_resolve_backend_dispatch():
+    """'auto' is seq-length-aware ON TPU (XLA < 512 tokens, flash kernel
+    >= 512 — measured crossover, docs/ABLATIONS.md) and always XLA off-TPU;
+    explicit choices pass through."""
+    from unittest import mock
+
+    from fast_dit_tpu.ops import attention
+
+    for explicit in ("xla", "pallas", "einsum"):
+        assert attention.resolve_backend(explicit, 256) == explicit
+    # off-TPU (this CPU test env): auto is always XLA
+    assert attention.resolve_backend("auto", 1024) == "xla"
+    with mock.patch.object(attention, "_has_pallas_support", lambda: True):
+        assert attention.resolve_backend("auto", 256) == "xla"
+        assert attention.resolve_backend("auto", 512) == "pallas"
+        assert attention.resolve_backend("auto", 1024) == "pallas"
