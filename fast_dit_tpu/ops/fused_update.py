@@ -131,6 +131,18 @@ def fused_adamw_ema_apply(state: FusedAdamWEmaState, grads, params, ema, *,
     `use_pallas` routes lane-aligned leaves through the Pallas kernel; the
     default lets XLA fuse `_update_math` (measured faster on real param
     trees — see module docstring)."""
+    if use_pallas:
+        # the kernel declares fp32 outputs aliased onto nu/master/ema inputs;
+        # a non-fp32 leaf would fail at lowering with an opaque aliasing
+        # error (the XLA path would instead silently promote) — check early
+        for name, tree in (("nu", state.nu), ("master", state.master),
+                           ("ema", ema)):
+            bad = [l.dtype for l in jax.tree.leaves(tree)
+                   if l.dtype != jnp.float32]
+            if bad:
+                raise TypeError(
+                    f"fused_adamw_ema_apply(use_pallas=True) needs fp32 "
+                    f"{name} leaves, got {bad[0]}")
     count = state.count + 1
     t = count.astype(jnp.float32)
     # bias corrections are scalars: computed once, prefetched to SMEM

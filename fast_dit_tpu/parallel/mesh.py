@@ -47,8 +47,14 @@ def create_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mes
     if data is None:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
-    assert data * model <= n, f"mesh {data}x{model} needs more than {n} devices"
-    arr = np.array(devices[: data * model]).reshape(data, model)
+    if data * model != n:
+        # silently dropping devices is a multi-chip footgun — make the caller
+        # slice the device list explicitly if a smaller mesh is intended
+        raise ValueError(
+            f"mesh data={data} x model={model} uses {data * model} of {n} "
+            f"devices; pass devices=jax.devices()[:{data * model}] to use a "
+            "subset explicitly")
+    arr = np.array(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 
 

@@ -54,7 +54,8 @@ def update_ema(ema, params, decay: float = 0.9999):
     return jax.tree.map(lambda e, p: e * decay + (1.0 - decay) * p, ema, params)
 
 
-def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.0,
+def create_train_state(model, rng, *, lr: Optional[float] = None,
+                       weight_decay: Optional[float] = None,
                        optimizer: Optional[optax.GradientTransformation] = None,
                        mixed_precision: bool = False,
                        mu_dtype=None,
@@ -81,6 +82,11 @@ def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.
         assert optimizer is None, (
             "fused_optimizer replaces the optax optimizer; pass one or the "
             "other (and pass lr/weight_decay to make_train_step)")
+        if lr is not None or weight_decay is not None:
+            raise ValueError(
+                "fused_optimizer=True ignores lr/weight_decay here — the "
+                "fused update reads them from make_train_step(lr=..., "
+                "weight_decay=...); pass them there instead")
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         opt_state = fused_adamw_ema_init(
             params, mu_dtype=mu_dtype or jnp.bfloat16)
@@ -89,7 +95,9 @@ def create_train_state(model, rng, *, lr: float = 1e-4, weight_decay: float = 0.
                           ema=ema, opt_state=opt_state,
                           sampler_state=sampler_state), None
     tx = optimizer if optimizer is not None else optax.adamw(
-        lr, weight_decay=weight_decay, mu_dtype=mu_dtype)
+        1e-4 if lr is None else lr,
+        weight_decay=0.0 if weight_decay is None else weight_decay,
+        mu_dtype=mu_dtype)
     if mixed_precision:
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         tx = masterize(tx)

@@ -37,6 +37,11 @@ def maybe_initialize_distributed():
     if os.environ.get("JAX_NUM_PROCESSES"):
         # explicit local bring-up (e.g. the 2-process CPU test): JAX's
         # auto-detection only covers managed clusters (TPU/SLURM/k8s)
+        if "JAX_PROCESS_ID" not in os.environ:
+            raise RuntimeError(
+                "JAX_NUM_PROCESSES is set but JAX_PROCESS_ID is not — "
+                "explicit multi-process bring-up needs both (plus "
+                "JAX_COORDINATOR_ADDRESS)")
         jax.distributed.initialize(
             coordinator_address=addr,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),

@@ -34,9 +34,13 @@ def load_dit_params(args, model):
                             jnp.zeros((1, 4, model.input_size, model.input_size)),
                             jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
         # zero-init head would produce all-zero outputs; perturb for demo runs
-        return jax.tree.map(
-            lambda p: p + 0.02 * jax.random.normal(jax.random.PRNGKey(1), p.shape),
-            params)
+        # (one key per leaf so same-shaped leaves get independent noise)
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        return jax.tree_util.tree_unflatten(
+            treedef,
+            [p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+             for p, k in zip(leaves, keys)])
     if args.ckpt and os.path.isdir(args.ckpt):
         # orbax checkpoint dir from train.py: load the EMA weights
         # (same preference as the reference's find_model, download.py:26-29)

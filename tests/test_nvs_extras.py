@@ -199,3 +199,82 @@ def test_video_gen(tmp_path):
     out = str(tmp_path / "out.mp4")
     n = images_to_video(str(folder), out, fps=5)
     assert n == 5 and os.path.getsize(out) > 0
+
+
+# --------------------------------------------------------------------------
+# DINO extractor, offline: a local stub hub repo exercises everything except
+# the network fetch itself (preprocessing, layer taps, channel concat) —
+# reference /root/reference/models.py:919-1000
+# --------------------------------------------------------------------------
+
+_STUB_HUBCONF = '''
+import torch
+
+dependencies = []
+
+
+class _StubDino(torch.nn.Module):
+    """get_intermediate_layers-compatible stand-in: layer k (counted from the
+    final layer backwards, -1 = final) emits a constant map of value
+    mean(input) + depth_index so taps and their order are checkable."""
+
+    depth = 12
+
+    def get_intermediate_layers(self, x, n=1, reshape=False):
+        assert reshape, "extractor always requests reshaped (B,C,gh,gw) maps"
+        B, _, H, W = x.shape
+        gh, gw = H // 14, W // 14
+        base = x.mean()
+        return tuple(
+            torch.full((B, 4, gh, gw), float(base + (self.depth - n + i)))
+            for i in range(n)
+        )
+
+
+def dinov2_vitb14(**kwargs):
+    return _StubDino()
+'''
+
+
+def test_dino_preprocess_images():
+    from fast_dit_tpu.nvs.dino import preprocess_images
+
+    img = np.zeros((2, 28, 28, 3), np.uint8)
+    img[..., 0] = 255  # pure red
+    x = preprocess_images(img)
+    assert x.shape == (2, 3, 28, 28) and x.dtype == np.float32
+    np.testing.assert_allclose(x[:, 0], (1.0 - 0.485) / 0.229, rtol=1e-5)
+    np.testing.assert_allclose(x[:, 1], (0.0 - 0.456) / 0.224, rtol=1e-5)
+    np.testing.assert_allclose(x[:, 2], (0.0 - 0.406) / 0.225, rtol=1e-5)
+
+
+def test_load_dino_local_stub(tmp_path):
+    torch = pytest.importorskip("torch")
+    from fast_dit_tpu.nvs.dino import load_dino, preprocess_images
+
+    (tmp_path / "hubconf.py").write_text(_STUB_HUBCONF)
+
+    img = np.full((2, 28, 42, 3), 128, np.uint8)
+    base = preprocess_images(img).mean()
+
+    extract = load_dino(layers=(-1,), hub_dir=str(tmp_path))
+    out = extract(img)
+    assert out.shape == (2, 4, 2, 3)  # 28/14 x 42/14 patch grid
+    np.testing.assert_allclose(out, base + 11, rtol=1e-5)  # final layer = 11
+
+    # multilayer taps concat along channels in the order given
+    extract = load_dino(layers=(-1, -3), hub_dir=str(tmp_path))
+    out = extract(img)
+    assert out.shape == (2, 8, 2, 3)
+    np.testing.assert_allclose(out[:, :4], base + 11, rtol=1e-5)
+    np.testing.assert_allclose(out[:, 4:], base + 9, rtol=1e-5)
+
+
+def test_load_dino_rejects_nonnegative_layers(tmp_path):
+    pytest.importorskip("torch")
+    from fast_dit_tpu.nvs.dino import load_dino
+
+    with pytest.raises(ValueError):
+        load_dino(layers=(0,), hub_dir=str(tmp_path))
+    with pytest.raises(ValueError):
+        load_dino(layers=(), hub_dir=str(tmp_path))

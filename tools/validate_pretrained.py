@@ -1,0 +1,370 @@
+"""One-command pretrained-weight validation kit.
+
+The day real DiT/SD-VAE weights arrive in this offline environment, one
+invocation validates the whole import path end-to-end against the reference
+contract (`/root/reference/download.py:18-29` checkpoint semantics,
+`README.md:116-125` FID harness):
+
+    python tools/validate_pretrained.py --dit DiT-XL-2-256x256.pt \
+        --vae pretrained_models/sd-vae-ft-mse [--fid-reference VIRTUAL_imagenet256.npz]
+
+Steps (each prints one OK/FAIL line; exit 1 on any failure):
+  A. import the .pt and pin ACTIVATION PARITY against an independent
+     functional-torch oracle driven by the same state dict (generalizes
+     tests/test_ckpt_import.py's oracle to any DiT config);
+  B. import the SD-VAE and check an encode->decode roundtrip is finite and
+     shape-correct;
+  C. render the reference demo-label sample grid
+     (`/root/reference/sample.py:47`: labels 207,360,387,974,88,979,417,279)
+     to validate_grid.png;
+  D. quick FID via the real sample_ddp harness (npz contract) +
+     tools/evaluate_samples features — against --fid-reference when given,
+     else between two disjoint halves of the generated set (a mechanism
+     check, not a quality number).
+
+`--dry-run` exercises every step today with a tiny random-weight DiT and a
+randomly initialized VAE — proving the plumbing before weights exist.
+"""
+
+import argparse
+import json
+import math
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+
+DEMO_LABELS = [207, 360, 387, 974, 88, 979, 417, 279]  # reference sample.py:47
+
+
+# ---------------------------------------------------------------------------
+# general functional-torch oracle (any DiT config, shapes read off the sd)
+# ---------------------------------------------------------------------------
+
+
+def torch_oracle_forward(sd, x_np, t_np, y_np, num_heads):
+    """Reference-semantics DiT forward in functional torch, driven directly
+    by a reference-style state dict — an importer-independent oracle
+    (reference models_original.py:233-248; generalization of
+    tests/test_ckpt_import.py:torch_oracle_forward)."""
+    import torch
+    import torch.nn.functional as F
+
+    g = {k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}
+    D = g["t_embedder.mlp.0.weight"].shape[0]
+    P = g["x_embedder.proj.weight"].shape[2]
+    depth = 1 + max(int(k.split(".")[1]) for k in g if k.startswith("blocks."))
+    out_dim = g["final_layer.linear.weight"].shape[0]
+    c_out = out_dim // (P * P)
+
+    x = torch.from_numpy(x_np)
+    t = torch.from_numpy(np.asarray(t_np))
+    y = torch.from_numpy(np.asarray(y_np))
+    img = x.shape[-1]
+
+    tok = F.conv2d(x, g["x_embedder.proj.weight"], g["x_embedder.proj.bias"],
+                   stride=P)
+    tok = tok.flatten(2).transpose(1, 2) + g["pos_embed"]
+
+    half = 128  # frequency_embedding_size 256 // 2
+    freqs = torch.exp(-math.log(10000.0)
+                      * torch.arange(half, dtype=torch.float32) / half)
+    targs = t.float()[:, None] * freqs[None]
+    tf = torch.cat([torch.cos(targs), torch.sin(targs)], dim=-1)
+    temb = F.linear(tf, g["t_embedder.mlp.0.weight"], g["t_embedder.mlp.0.bias"])
+    temb = F.linear(F.silu(temb), g["t_embedder.mlp.2.weight"],
+                    g["t_embedder.mlp.2.bias"])
+    c = temb + g["y_embedder.embedding_table.weight"][y]
+
+    def ln(v):
+        return F.layer_norm(v, (D,), eps=1e-6)
+
+    hd = D // num_heads
+    for i in range(depth):
+        mods = F.linear(F.silu(c), g[f"blocks.{i}.adaLN_modulation.1.weight"],
+                        g[f"blocks.{i}.adaLN_modulation.1.bias"]).chunk(6, dim=1)
+        s_msa, sc_msa, gate_msa, s_mlp, sc_mlp, gate_mlp = mods
+        h = ln(tok) * (1 + sc_msa[:, None]) + s_msa[:, None]
+        qkv = F.linear(h, g[f"blocks.{i}.attn.qkv.weight"],
+                       g[f"blocks.{i}.attn.qkv.bias"])
+        B, N, _ = qkv.shape
+        q, k, v = qkv.reshape(B, N, 3, num_heads, hd).unbind(2)
+        q, k, v = (u.permute(0, 2, 1, 3) for u in (q, k, v))
+        att = torch.softmax(q @ k.transpose(-1, -2) * hd ** -0.5, dim=-1)
+        h = (att @ v).permute(0, 2, 1, 3).reshape(B, N, D)
+        h = F.linear(h, g[f"blocks.{i}.attn.proj.weight"],
+                     g[f"blocks.{i}.attn.proj.bias"])
+        tok = tok + gate_msa[:, None] * h
+        h = ln(tok) * (1 + sc_mlp[:, None]) + s_mlp[:, None]
+        h = F.linear(h, g[f"blocks.{i}.mlp.fc1.weight"],
+                     g[f"blocks.{i}.mlp.fc1.bias"])
+        h = F.gelu(h, approximate="tanh")
+        h = F.linear(h, g[f"blocks.{i}.mlp.fc2.weight"],
+                     g[f"blocks.{i}.mlp.fc2.bias"])
+        tok = tok + gate_mlp[:, None] * h
+
+    shift, scale = F.linear(
+        F.silu(c), g["final_layer.adaLN_modulation.1.weight"],
+        g["final_layer.adaLN_modulation.1.bias"]).chunk(2, dim=1)
+    tok = ln(tok) * (1 + scale[:, None]) + shift[:, None]
+    tok = F.linear(tok, g["final_layer.linear.weight"],
+                   g["final_layer.linear.bias"])
+    gh = img // P
+    out = tok.reshape(-1, gh, gh, P, P, c_out)
+    out = torch.einsum("nhwpqc->nchpwq", out).reshape(-1, c_out, img, img)
+    return out.numpy()
+
+
+def random_state_dict(depth, hidden, patch, in_ch, num_classes, input_size,
+                      seed=0):
+    """Reference-style random state dict for --dry-run (any config)."""
+    from fast_dit_tpu.models import get_2d_sincos_pos_embed
+
+    rs = np.random.RandomState(seed)
+    w = lambda *s: (rs.randn(*s) * 0.15).astype(np.float32)
+    sd = {
+        "x_embedder.proj.weight": w(hidden, in_ch, patch, patch),
+        "x_embedder.proj.bias": w(hidden),
+        "t_embedder.mlp.0.weight": w(hidden, 256),
+        "t_embedder.mlp.0.bias": w(hidden),
+        "t_embedder.mlp.2.weight": w(hidden, hidden),
+        "t_embedder.mlp.2.bias": w(hidden),
+        "y_embedder.embedding_table.weight": w(num_classes + 1, hidden),
+        "final_layer.adaLN_modulation.1.weight": w(2 * hidden, hidden),
+        "final_layer.adaLN_modulation.1.bias": w(2 * hidden),
+        "final_layer.linear.weight": w(patch * patch * 2 * in_ch, hidden),
+        "final_layer.linear.bias": w(patch * patch * 2 * in_ch),
+        "pos_embed": get_2d_sincos_pos_embed(
+            hidden, input_size // patch).astype(np.float32)[None],
+    }
+    for i in range(depth):
+        sd[f"blocks.{i}.adaLN_modulation.1.weight"] = w(6 * hidden, hidden)
+        sd[f"blocks.{i}.adaLN_modulation.1.bias"] = w(6 * hidden)
+        sd[f"blocks.{i}.attn.qkv.weight"] = w(3 * hidden, hidden)
+        sd[f"blocks.{i}.attn.qkv.bias"] = w(3 * hidden)
+        sd[f"blocks.{i}.attn.proj.weight"] = w(hidden, hidden)
+        sd[f"blocks.{i}.attn.proj.bias"] = w(hidden)
+        sd[f"blocks.{i}.mlp.fc1.weight"] = w(4 * hidden, hidden)
+        sd[f"blocks.{i}.mlp.fc1.bias"] = w(4 * hidden)
+        sd[f"blocks.{i}.mlp.fc2.weight"] = w(hidden, 4 * hidden)
+        sd[f"blocks.{i}.mlp.fc2.bias"] = w(hidden)
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# steps
+# ---------------------------------------------------------------------------
+
+
+def check(name, ok, detail=""):
+    print(f"[{'OK' if ok else 'FAIL'}] {name}" + (f" — {detail}" if detail else ""))
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dit", default=None, help=".pt path or pretrained name")
+    ap.add_argument("--vae", default=None, help="diffusers SD-VAE weight dir")
+    ap.add_argument("--model", default="DiT-XL/2")
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--num-sampling-steps", type=int, default=250)
+    ap.add_argument("--cfg-scale", type=float, default=4.0)
+    ap.add_argument("--num-fid-samples", type=int, default=5000)
+    ap.add_argument("--fid-reference", default=None,
+                    help="ADM reference-batch npz (VIRTUAL_imagenet256_labeled"
+                         ".npz); without it FID is a split-half mechanism check")
+    ap.add_argument("--parity-atol", type=float, default=1e-3,
+                    help="max|Δ| bound for activation parity (model-output "
+                         "units; fp32 torch-CPU vs XLA-highest accumulate "
+                         "differently across 28 layers)")
+    ap.add_argument("--skip-fid", action="store_true")
+    ap.add_argument("--out-dir", default="validate_out")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="tiny random-weight DiT + random-init VAE: exercises "
+                         "every step with no downloaded weights")
+    args = ap.parse_args()
+
+    from fast_dit_tpu.utils.platform import maybe_force_cpu
+
+    maybe_force_cpu()
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from fast_dit_tpu.ckpt import find_model, state_dict_to_flax
+    from fast_dit_tpu.ckpt.vae_import import import_vae_checkpoint
+    from fast_dit_tpu.diffusion import create_diffusion
+    from fast_dit_tpu.models import DiT, DiT_models
+    from fast_dit_tpu.models.vae import VAE_SCALE, AutoencoderKL
+    from fast_dit_tpu.utils.image import save_image
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    ok = True
+
+    # -- model + state dict ------------------------------------------------
+    if args.dry_run:
+        args.image_size = 64
+        args.num_sampling_steps = min(args.num_sampling_steps, 8)
+        args.num_fid_samples = min(args.num_fid_samples, 16)
+        latent = args.image_size // 8
+        model = DiT(input_size=latent, patch_size=2, in_channels=4,
+                    hidden_size=32, depth=2, num_heads=4, num_classes=1000,
+                    attn_backend="xla")
+        sd = random_state_dict(2, 32, 2, 4, 1000, latent)
+        dit_path = os.path.join(args.out_dir, "dry_run_dit.pt")
+        import torch
+
+        torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+                   dit_path)
+    else:
+        if not args.dit:
+            ap.error("--dit is required (or use --dry-run)")
+        latent = args.image_size // 8
+        model = DiT_models[args.model](input_size=latent, attn_backend="xla")
+        sd = find_model(args.dit)
+        dit_path = args.dit
+
+    # -- A: import + activation parity ------------------------------------
+    params = jax.tree.map(jnp.asarray,
+                          state_dict_to_flax(sd, model.depth, model.num_heads))
+    rs = np.random.RandomState(0)
+    x = rs.randn(2, model.in_channels, model.input_size,
+                 model.input_size).astype(np.float32)
+    t = np.array([37, 999], np.int64)
+    y = np.array([DEMO_LABELS[0], DEMO_LABELS[1]], np.int64)
+    got = np.asarray(model.apply(params, jnp.asarray(x), jnp.asarray(t),
+                                 jnp.asarray(y)))
+    expected = torch_oracle_forward(sd, x, t, y, model.num_heads)
+    dmax = float(np.abs(got - expected).max())
+    ok &= check("A activation parity (flax import vs torch oracle)",
+                dmax <= args.parity_atol,
+                f"max|Δ|={dmax:.2e} (bound {args.parity_atol:.0e})")
+
+    # -- B: VAE import + roundtrip ----------------------------------------
+    vae = AutoencoderKL()
+    vae_path = (args.vae or os.environ.get("SD_VAE_PATH") or "")
+    if args.dry_run and not (vae_path and os.path.exists(vae_path)):
+        vae_params = vae.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((1, 3, args.image_size, args.image_size)),
+            jax.random.PRNGKey(1))
+        vae_src = "random-init (dry run)"
+    elif vae_path and os.path.exists(vae_path):
+        vae_params = import_vae_checkpoint(vae_path, vae)
+        vae_src = vae_path
+    else:
+        vae_params = None
+        vae_src = "none"
+    if vae_params is not None:
+        img = jnp.asarray(rs.rand(1, 3, args.image_size, args.image_size)
+                          .astype(np.float32) * 2 - 1)
+        moments = vae.apply(vae_params, img, method=vae.encode_moments)
+        z = moments[:, :4] * VAE_SCALE
+        rec = vae.apply(vae_params, z / VAE_SCALE, method=vae.decode)
+        ok &= check("B VAE import + encode/decode roundtrip",
+                    rec.shape == img.shape
+                    and bool(np.isfinite(np.asarray(rec)).all()),
+                    f"{vae_src}: latents {tuple(z.shape)} -> {tuple(rec.shape)}")
+    else:
+        check("B VAE", True, "skipped (no weights; pass --vae or SD_VAE_PATH)")
+
+    # -- C: demo-label sample grid -----------------------------------------
+    diffusion = create_diffusion(str(args.num_sampling_steps))
+    n = len(DEMO_LABELS)
+    yy = jnp.array(DEMO_LABELS + [1000] * n)
+
+    @jax.jit
+    def render(params, vae_params, rng):
+        z = jax.random.normal(rng, (n, 4, latent, latent))
+        z = jnp.concatenate([z, z], 0)
+        apply = lambda xx, tt: model.apply(
+            params, xx, tt, yy, method=model.forward_with_cfg,
+            cfg_scale=args.cfg_scale)
+        out = diffusion.p_sample_loop(apply, z.shape, noise=z,
+                                      rng=rng, clip_denoised=False)[:n]
+        if vae_params is not None:
+            return vae.apply(vae_params, out / VAE_SCALE, method=vae.decode)
+        return out[:, :3]
+
+    grid = np.asarray(render(params, vae_params, jax.random.PRNGKey(0)))
+    grid_path = os.path.join(args.out_dir, "validate_grid.png")
+    vr = (-1, 1) if vae_params is not None else (float(grid.min()),
+                                                 float(grid.max()))
+    save_image(grid, grid_path, nrow=4, value_range=vr)
+    ok &= check("C demo-label sample grid",
+                bool(np.isfinite(grid).all()) and grid.shape[0] == n,
+                f"{grid_path} (labels {DEMO_LABELS}, cfg {args.cfg_scale}, "
+                f"{args.num_sampling_steps} steps)")
+
+    # -- D: quick FID through the real sample_ddp harness ------------------
+    if args.skip_fid:
+        check("D FID", True, "skipped (--skip-fid)")
+    else:
+        import sample_ddp
+
+        sample_dir = os.path.join(args.out_dir, "fid_samples")
+        shutil.rmtree(sample_dir, ignore_errors=True)
+        os.makedirs(sample_dir, exist_ok=True)
+        ns = argparse.Namespace(
+            model=args.model if not args.dry_run else "DiT-S/2",
+            vae="mse", sample_dir=sample_dir,
+            per_proc_batch_size=min(8, args.num_fid_samples),
+            num_fid_samples=args.num_fid_samples,
+            image_size=args.image_size, num_classes=1000,
+            cfg_scale=1.5, num_sampling_steps=args.num_sampling_steps,
+            global_seed=0, tf32=True, ckpt=dit_path,
+            vae_ckpt=vae_path if (vae_path and os.path.exists(vae_path)) else None,
+            attn_backend="auto", io_threads=8, bf16=not args.dry_run,
+            cache_interval=1, sampler="ddpm")
+        if args.dry_run:
+            # the dry-run .pt has the tiny custom config: bypass the registry
+            sample_ddp.DiT_models[ns.model] = lambda **kw: model
+        sample_ddp.main(ns)
+        npzs = [os.path.join(r, f) for r, _, fs in os.walk(sample_dir)
+                for f in fs if f.endswith(".npz")]
+        ok &= check("D1 sample_ddp npz contract", len(npzs) == 1,
+                    npzs[0] if npzs else "no npz written")
+        if npzs:
+            from tools.evaluate_samples import (load_images,
+                                                make_inception_fns,
+                                                make_random_projection_fns)
+            from fast_dit_tpu.nvs import metrics
+
+            gen = load_images(npzs[0])
+            feature_fn, _ = make_inception_fns()
+            label = "inception"
+            if feature_fn is None:
+                feature_fn, _ = make_random_projection_fns()
+                label = "random-projection (offline stand-in)"
+            if args.fid_reference:
+                ref = load_images(args.fid_reference, limit=len(gen))
+                fid = metrics.compute_fid(ref, gen, feature_fn)
+                ok &= check("D2 quick FID vs reference batch",
+                            np.isfinite(fid), f"FID={fid:.3f} [{label}] "
+                            f"({len(gen)} samples — quote FID-50K for parity)")
+            else:
+                h = len(gen) // 2
+                fid = metrics.compute_fid(gen[:h], gen[h:], feature_fn)
+                ok &= check("D2 FID pipeline (split-half mechanism check)",
+                            np.isfinite(fid),
+                            f"FID={fid:.3f} [{label}] — pass --fid-reference "
+                            "for a real number")
+
+    summary = os.path.join(args.out_dir, "validate_summary.json")
+    with open(summary, "w") as f:
+        json.dump({"ok": bool(ok), "parity_max_abs": dmax,
+                   "dit": str(dit_path), "vae": vae_src,
+                   "image_size": args.image_size}, f, indent=1)
+    print(("ALL CHECKS PASSED" if ok else "VALIDATION FAILED")
+          + f" (summary: {summary})")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -70,7 +70,10 @@ def main(args):
         sampler_state = create_named_schedule_sampler(
             args.schedule_sampler, diffusion.num_timesteps)
     state, tx = create_train_state(model, jax.random.PRNGKey(args.global_seed),
-                                   lr=args.lr, mixed_precision=args.mixed_precision,
+                                   # the fused update takes lr from
+                                   # make_sharded_train_step below instead
+                                   lr=None if args.fused_optimizer else args.lr,
+                                   mixed_precision=args.mixed_precision,
                                    fused_optimizer=args.fused_optimizer,
                                    sampler_state=sampler_state)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
