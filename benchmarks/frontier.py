@@ -1,0 +1,141 @@
+"""Quality-speed frontier for fast sampling: {ddpm250, ddim100, ddim50} x
+{FORA cache interval 1..4}, one JSON line per config with throughput AND
+latent drift — the honest decision surface behind the cached-sampling
+headline numbers (docs/ABLATIONS.md).
+
+Drift is reported two ways (both share the same x_T and noise stream):
+  - `rel_l2_vs_own_exact`: vs the SAME sampler at interval 1 — isolates the
+    cache approximation (0 at k=1 by construction);
+  - `rel_l2_vs_ddpm250`: vs the reference-default exact sampler
+    (`/root/reference/sample.py:77-78`: 250 DDPM steps) — total deviation
+    from the reference configuration, including the sampler/step-count
+    change itself.
+
+Without pretrained weights the drift numbers are mechanism-level
+(perturbed-random weights, like benchmarks/cache_error.py); pass --ckpt when
+real weights exist. Throughput numbers are weight-independent.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rel_l2(a, b):
+    d = a.astype("float64") - b.astype("float64")
+    return float((d ** 2).sum() ** 0.5 / ((b.astype("float64") ** 2).sum() ** 0.5))
+
+
+def main():
+    from fast_dit_tpu.utils.platform import maybe_force_cpu
+    maybe_force_cpu()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="DiT-XL/2")
+    ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--cfg-scale", type=float, default=1.5)
+    ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    ap.add_argument("--attn-backend", default="auto")
+    ap.add_argument("--samplers", default="ddpm:250,ddim:100,ddim:50",
+                    help="comma list of sampler:steps")
+    ap.add_argument("--intervals", default="1,2,3,4")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--ckpt", default=None)
+    args = ap.parse_args()
+
+    from fast_dit_tpu.diffusion import create_diffusion
+    from fast_dit_tpu.models import DiT_models
+
+    latent = args.image_size // 8
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = DiT_models[args.model](input_size=latent, dtype=dtype,
+                                   attn_backend=args.attn_backend)
+    if args.ckpt:
+        from fast_dit_tpu.ckpt import find_model, state_dict_to_flax
+        params = {"params": jax.tree.map(jnp.asarray, state_dict_to_flax(
+            find_model(args.ckpt), model.depth, model.num_heads))}
+        weights = os.path.basename(args.ckpt)
+    else:
+        params = model.init({"params": jax.random.PRNGKey(0)},
+                            jnp.zeros((1, 4, latent, latent)),
+                            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+        # perturb so zero-init gates don't make the cache trivially exact
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.PRNGKey(1), len(leaves))
+        params = jax.tree_util.tree_unflatten(
+            treedef, [p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+                      for p, k in zip(leaves, keys)])
+        weights = "perturbed-random (mechanism-level drift)"
+
+    n = args.batch
+    y = jnp.concatenate([jnp.arange(n) % 1000, jnp.full((n,), 1000)])
+    rng = jax.random.PRNGKey(42)
+    z = jax.random.normal(jax.random.fold_in(rng, 0), (2 * n, 4, latent, latent))
+
+    apply = lambda x, t, **kw: model.apply(
+        params, x, t, y, method=model.forward_with_cfg,
+        cfg_scale=args.cfg_scale, **kw)
+
+    def run_config(sampler, steps, interval):
+        diffusion = create_diffusion(
+            str(steps) if sampler == "ddpm" else f"ddim{steps}")
+        if interval == 1:
+            loop = (diffusion.p_sample_loop if sampler == "ddpm"
+                    else diffusion.ddim_sample_loop)
+            fn = jax.jit(lambda: loop(apply, z.shape, noise=z, rng=rng,
+                                      clip_denoised=False)[:n])
+        else:
+            loop = (diffusion.p_sample_loop_cached if sampler == "ddpm"
+                    else diffusion.ddim_sample_loop_cached)
+            fn = jax.jit(lambda: loop(
+                lambda x, t: apply(x, t, want_cache=True),
+                lambda x, t, cache: apply(x, t, cache=cache),
+                z.shape, interval=interval, noise=z, rng=rng,
+                clip_denoised=False)[:n])
+        out = jax.device_get(fn())  # compile + materialize
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            float(fn().sum())
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return np.asarray(out), times[len(times) // 2]
+
+    print(json.dumps({"weights": weights, "model": args.model,
+                      "image_size": args.image_size, "batch": n,
+                      "cfg": args.cfg_scale, "dtype": args.dtype}))
+    configs = [(s.split(":")[0], int(s.split(":")[1]))
+               for s in args.samplers.split(",")]
+    intervals = [int(s) for s in args.intervals.split(",")]
+
+    ref250 = None
+    own_exact = {}
+    for sampler, steps in configs:
+        for k in intervals:
+            out, p50 = run_config(sampler, steps, k)
+            if k == 1:
+                own_exact[(sampler, steps)] = out
+                if ref250 is None and sampler == "ddpm" and steps == 250:
+                    ref250 = out
+            row = {
+                "sampler": sampler, "steps": steps, "cache_interval": k,
+                "img_per_sec": round(n / p50, 4),
+                "p50_latency_sec": round(p50, 3),
+                "rel_l2_vs_own_exact": round(
+                    rel_l2(out, own_exact[(sampler, steps)]), 5),
+            }
+            if ref250 is not None:
+                row["rel_l2_vs_ddpm250"] = round(rel_l2(out, ref250), 5)
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

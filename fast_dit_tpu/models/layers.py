@@ -30,7 +30,7 @@ import numpy as np
 from flax import linen as nn
 from jax.ad_checkpoint import checkpoint_name
 
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, resolve_backend
 
 __all__ = [
     "modulate",
@@ -176,8 +176,19 @@ class Attention(nn.Module):
         qkv = nn.DenseGeneral(
             features=(3, H, hd), use_bias=self.qkv_bias, kernel_init=xavier_uniform,
             bias_init=zeros_init, dtype=self.dtype, name="qkv")(x)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # (B, N, H, hd)
-        out = dot_product_attention(q, k, v, backend=self.attn_backend)
+        backend = resolve_backend(self.attn_backend, N, B, H)
+        if backend in ("pallas", "hybrid"):
+            # layout-native path: the Pallas kernels consume the packed
+            # (B, N, 3, H, hd) projection output directly (zero copies);
+            # "hybrid" keeps the flops-peak XLA forward and only swaps in
+            # the fused Pallas backward (see ops/attention.py)
+            from ..ops.flash_attention import flash_attention_qkv
+
+            out = flash_attention_qkv(
+                qkv, fwd_impl="pallas" if backend == "pallas" else "xla")
+        else:
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
+            out = dot_product_attention(q, k, v, backend=backend)
         out = nn.DenseGeneral(
             features=D, axis=(-2, -1), kernel_init=xavier_uniform,
             bias_init=zeros_init, dtype=self.dtype, name="proj")(out)

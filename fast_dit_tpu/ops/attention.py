@@ -2,14 +2,19 @@
 
 The reference delegates attention to timm's `Attention` module
 (`/root/reference/train_options/models_original.py:108`), i.e. a naive
-softmax(QK^T)V in torch. Here attention is a pluggable op with three
-implementations:
+softmax(QK^T)V in torch. Here attention is a pluggable op:
 
 - "xla":    `jax.nn.dot_product_attention` — XLA's fused attention; the
-            default on CPU and the fallback everywhere.
-- "pallas": our flash-attention TPU kernel (`ops/flash_attention.py`):
-            K/V-blocked online-softmax forward + fused Pallas backward,
-            bf16-friendly with fp32 accumulation.
+            default on CPU and the short-sequence forward champion on TPU
+            (a single VMEM-resident fusion at ~80% of flops peak at 256
+            tokens — see ops/flash_attention.py module docstring).
+- "hybrid": XLA forward + our fused Pallas backward (custom_vjp). The
+            backward is where XLA loses: its attention VJP materializes the
+            (B, H, S, S) probabilities through HBM; the Pallas backward
+            recomputes the softmax in VMEM and emits packed dqkv in one
+            sweep. Identical forward numerics/speed to "xla".
+- "pallas": full Pallas forward + fused backward (`ops/flash_attention.py`)
+            — wins at long sequences (>= 512 tokens).
 - "einsum": reference-shaped naive attention, used in tests as the numerical
             ground truth.
 
@@ -43,30 +48,50 @@ def _has_pallas_support() -> bool:
         return False
 
 
-def resolve_backend(backend: str, seq_len: int = 256) -> str:
+# Above this many bytes of per-layer probability matrices (B*H*S^2*2 in
+# bf16), XLA's forward attention can no longer keep them VMEM-resident and
+# becomes HBM-bandwidth-bound — the regime where the Pallas forward wins.
+_XLA_FWD_RESIDENCY_BYTES = 64 * 1024 * 1024
+
+
+def resolve_backend(backend: str, seq_len: int = 256, batch: int | None = None,
+                    num_heads: int = 16) -> str:
+    """Pick the attention implementation.
+
+    'auto' on TPU dispatches on the MECHANISM, not just seq length
+    (measured on v5e inside the full DiT-XL/2 model, docs/ABLATIONS.md):
+
+    - When the (B, H, S, S) probabilities fit in VMEM (sampling bs16 at 256
+      tokens: 33 MB), XLA's forward fusion runs at ~flops peak (24 us/layer
+      vs 24 us ideal) and every Pallas forward variant tried is 4-10x
+      slower => keep the XLA forward, swap in the fused Pallas backward
+      ("hybrid": +9% train steps/sec from the backward alone).
+    - Once the probabilities spill to HBM (train bs128 at 256 tokens:
+      268 MB/layer, measured 653-745 GB/s bandwidth-bound; any batch at
+      1024 tokens), the Pallas forward wins too => full "pallas"
+      (+11.4% train steps/sec at XL/2 bs128, +19% sampling at 1024 tokens).
+
+    With batch unknown, falls back to the seq-length crossover alone.
+    """
     if backend == "auto":
         if not _has_pallas_support():
             return "xla"
-        # Measured on v5e inside the FULL DiT-XL/2 model (docs/ABLATIONS.md):
-        # - 256 tokens (256² p2): XLA wins (1.40 vs 0.98 img/s sampling) —
-        #   the custom call breaks XLA's surrounding fusions at short
-        #   sequences even though the kernel wins in isolation.
-        # - 1024 tokens (512² p2): the flash kernel wins (0.216 vs 0.182
-        #   img/s, +19%) — the K/V-blocked online softmax pays off once the
-        #   score matrix dominates.
-        # The kernel is also the more PRECISE path for fp32 parity work:
-        # 9e-7 vs ~5e-3 against an fp64 oracle.
-        return "pallas" if seq_len >= 512 else "xla"
+        if batch is None:
+            return "pallas" if seq_len >= 512 else "hybrid"
+        probs_bytes = 2 * batch * num_heads * seq_len * seq_len
+        return "pallas" if probs_bytes > _XLA_FWD_RESIDENCY_BYTES else "hybrid"
     return backend
 
 
 def dot_product_attention(q, k, v, *, backend: str = "auto", scale=None):
     """Dispatch attention to the chosen backend. q/k/v: (B, S, H, D)."""
-    backend = resolve_backend(backend, q.shape[1])
-    if backend == "pallas":
+    backend = resolve_backend(backend, q.shape[1], q.shape[0], q.shape[2])
+    if backend in ("pallas", "hybrid"):
         from .flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale=scale)
+        return flash_attention(
+            q, k, v, scale=scale,
+            fwd_impl="pallas" if backend == "pallas" else "xla")
     if backend == "xla":
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
     if backend == "einsum":

@@ -1,27 +1,49 @@
-"""Pallas TPU flash attention: online-softmax forward + fused backward.
+"""Pallas TPU attention: layout-native packed-qkv kernels + fused backward.
 
 The reference delegates attention to timm's naive softmax(QK^T)V
-(`/root/reference/train_options/models_original.py:108`). This is the
-TPU-native replacement:
+(`/root/reference/train_options/models_original.py:108`). On TPU the
+interesting structure is asymmetric, and this module exploits it (profile
+evidence in docs/ABLATIONS.md round-3 trace tables):
 
-- Forward: a K/V-blocked online-softmax kernel (grid = (batch*heads,
-  q-blocks, k-blocks)). Running max/denominator live in VMEM scratch, so
-  VMEM usage is bounded by the block sizes, not the sequence length — DiT's
-  256 (256^2, patch 2) and 1024 (512^2) token configs run single-K-block;
-  longer sequences stream K/V blocks through the same kernel.
-- Backward: one fused Pallas kernel per (batch, head) recomputes the softmax
-  (flash-style: only q/k/v are saved as residuals) and produces dq, dk, dv
-  in a single pass, streaming q blocks while dk/dv accumulate in fp32 VMEM
-  scratch. Sequences longer than `_BWD_MAX_SEQ` fall back to an XLA
-  recompute VJP.
+- **Forward, short sequences (256 tokens = the flagship 256^2/p2 config)**:
+  XLA already compiles softmax(QK^T)V into a single VMEM-resident fusion
+  running at ~80% of the chip's flops peak (~24 us/layer at sampling batch
+  16 — measured vs a 24 us flops-bound ideal). A hand kernel CANNOT
+  meaningfully beat it there, and ours measured 4-10x slower (the
+  per-head VPU softmax serializes against the MXU). So the forward stays
+  with XLA below `_PALLAS_FWD_MIN_SEQ`.
+- **Backward**: XLA's attention VJP materializes and re-reads the
+  (B, H, S, S) probability matrices through HBM (the round-3 train-step
+  trace attributes ~130 ms/step of 745 GB/s bandwidth-bound remat fusions
+  to them at XL/2 bs128). The fused Pallas backward here recomputes the
+  softmax in VMEM (flash-style — residual is just the packed qkv) and
+  writes the packed dqkv in one sweep: that traffic disappears.
 
-Numerics: logits and softmax statistics in fp32 (matching the fp32 softmax
-the reference gets from timm/torch); matmuls in the input dtype on the MXU
-with fp32 accumulation; fp32 inputs get full-precision MXU passes (this is
-also the high-precision parity path — see tools/parity_check.py). Head dim
-is zero-padded to the 128-lane width: zero K-columns leave logits unchanged,
-zero V-columns produce zero output columns that are sliced away; padded key
-rows are masked to -inf before the softmax.
+Hence the default is the **hybrid** path: XLA forward + Pallas fused
+backward, glued with jax.custom_vjp. The full-Pallas forward is kept for
+long sequences (>= 512 tokens, e.g. 1024 at 512^2) where the score matrix
+is large enough that XLA's materializing forward loses.
+
+Layout: the kernels consume the fused qkv projection output directly.
+(B, S, 3, H, hd) is viewed as (B, S, 3*H*hd) — a free reshape of contiguous
+trailing dims, 128-lane aligned for every DiT config — so the whole packed
+qkv is ONE full-width (S, 3D) block per batch row, and q/k/v and the
+individual heads are static lane slices inside VMEM. No prep transposes in
+HBM (the round-2 kernel's (B*H, S, 128)-padded prep/unprep copies are gone).
+
+Numerics, two in-kernel softmax strategies selected by input dtype:
+
+- fp32 inputs (the parity path, tools/parity_check.py): exact row-max
+  softmax with full-precision MXU passes.
+- bf16 inputs (training/sampling): a reduction-free softmax. Cross-lane
+  VPU reductions (row max, row sum) dominate the kernel's runtime at DiT
+  shapes (measured: removing them is 2.4x), so the fast path
+  - clamps logits at +50 instead of subtracting the row max (exact
+    whenever all logits are < 50 — DiT logits are LN-bounded; beyond the
+    clamp the softmax degrades gracefully rather than overflowing),
+  - computes row sums as an MXU matmul against a ones matrix,
+  - folds the 1/denominator into the small (rows, head_dim) tensors
+    (output / dO / q) instead of normalizing the (rows, S) probabilities.
 """
 
 from __future__ import annotations
@@ -33,17 +55,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention"]
+__all__ = ["flash_attention", "flash_attention_qkv"]
 
-_LANE = 128
-# largest KV length the fused backward keeps resident per (batch, head);
-# beyond this an XLA recompute VJP takes over (not a DiT config: DiT tops
-# out at 1024 tokens for 512^2 / patch 2)
-_BWD_MAX_SEQ = 4096
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
+# largest seq kept resident per batch row ((S, 3D) block + fp32 scratch);
+# DiT tops out at 1024 (512^2, patch 2). The backward additionally holds
+# dqkv + fp32 dk/dv scratch, so its resident bound is lower.
+_MAX_SEQ = 2048
+_BWD_MAX_SEQ = 1024
+# below this, the XLA forward fusion is at flops-peak and unbeatable
+_PALLAS_FWD_MIN_SEQ = 512
+_CHUNK = 256  # q-chunk rows of the in-kernel score matrices when S > _CHUNK
+# logits clamp of the reduction-free bf16 softmax (exp(50) ~ 5e21: safely
+# inside fp32/bf16 range even after a 2048-term row sum)
+_CLAMP = 50.0
+# The statically-unrolled head loop does NOT share stack allocations between
+# iterations, so per-head fp32 score temporaries are sized by _CHUNK and the
+# kernel needs more than the default 16 MB scoped-VMEM budget at S >= 1024
+# (measured: 101 MB stack at S=1024 with 512-row chunks).
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _precision(dtype):
@@ -53,17 +82,33 @@ def _precision(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _prep(x, s_to, dp):
-    """(B, S, H, D) -> (B*H, s_to, dp), zero-padded."""
-    B, S, H, D = x.shape
-    x = jnp.transpose(x, (0, 2, 1, 3)).reshape(B * H, S, D)
-    return jnp.pad(x, ((0, 0), (0, s_to - S), (0, dp - D)))
+def _chunks(S: int):
+    """(chunk_rows, n_chunks) for the in-kernel q loop."""
+    if S <= _CHUNK or S % _CHUNK:
+        return S, 1
+    return _CHUNK, S // _CHUNK
 
 
-def _unprep(x, B, S, H, D):
-    """(B*H, sq, dp) -> (B, S, H, D), padding sliced away."""
-    x = x[:, :S, :D].reshape(B, H, S, D)
-    return jnp.transpose(x, (0, 2, 1, 3))
+def _supported(S: int, D: int) -> bool:
+    return S <= _MAX_SEQ and (3 * D) % 128 == 0
+
+
+def _dot(a, b, dims, prec):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=prec)
+
+
+def _unnormalized_softmax(s, dtype, prec, ones):
+    """exp(clamp(s)) and 1/rowsum without cross-lane reductions.
+
+    Returns (p_u, inv) where the true probabilities are p_u * inv. The row
+    sum rides the MXU: exp(s) @ ones(S, 128), column 0.
+    """
+    p_u = jnp.exp(jnp.minimum(s, _CLAMP))
+    denom = _dot(p_u.astype(dtype), ones, ((1,), (0,)), prec)[:, :1]
+    inv = 1.0 / jnp.maximum(denom, 1e-30)
+    return p_u, inv
 
 
 # ---------------------------------------------------------------------------
@@ -71,93 +116,65 @@ def _unprep(x, B, S, H, D):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
-                scale: float, kv_len: int, block_k: int):
-    """Online-softmax step for one (bh, q-block, k-block) grid cell."""
-    kk = pl.program_id(2)
-    nk = pl.num_programs(2)
+def _fwd_kernel(qkv_ref, o_ref, *, scale: float, num_heads: int, D: int,
+                exact: bool):
+    """softmax(q k^T) v for one batch row; the ref is the full (S, 3D)
+    packed tile, heads are lane slices at [j*hd], k at [D + j*hd], v at
+    [2D + j*hd]."""
+    prec = _precision(qkv_ref.dtype)
+    S = qkv_ref.shape[0]
+    hd = D // num_heads
+    bq, n = _chunks(S)
+    dtype = qkv_ref.dtype
+    ones = None if exact else jnp.ones((S, 128), dtype)
+    for j in range(num_heads):  # static unroll over lane-sliced heads
+        k = qkv_ref[:, D + j * hd: D + (j + 1) * hd]
+        v = qkv_ref[:, 2 * D + j * hd: 2 * D + (j + 1) * hd]
 
-    @pl.when(kk == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        def chunk(c, _):
+            q = qkv_ref[pl.ds(c * bq, bq), j * hd: (j + 1) * hd]
+            s = _dot(q, k, ((1,), (1,)), prec) * scale
+            if exact:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)
+                o = _dot(p.astype(v.dtype), v, ((1,), (0,)), prec)
+            else:
+                p_u, inv = _unnormalized_softmax(s, dtype, prec, ones)
+                o = _dot(p_u.astype(dtype), v, ((1,), (0,)), prec) * inv
+            o_ref[pl.ds(c * bq, bq), j * hd: (j + 1) * hd] = o.astype(o_ref.dtype)
+            return _
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    prec = _precision(q.dtype)
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, bk)
-    if kv_len % block_k:
-        # mask padded key rows so they contribute nothing to the softmax
-        col = kk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, -jnp.inf)
-
-    m_prev = m_ref[:, :1]                                   # (bq, 1)
-    l_prev = l_ref[:, :1]
-    m_curr = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)                    # finite: every
-    # k-block overlaps valid keys (padding < block_k), so exp() below is safe
-    alpha = jnp.exp(m_prev - m_next)
-    p = jnp.exp(s - m_next)
-    l_ref[...] = jnp.broadcast_to(
-        alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True), l_ref.shape)
-    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-
-    @pl.when(kk == nk - 1)
-    def _finish():
-        o_ref[0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+        if n == 1:
+            chunk(0, None)  # flagship 256-token case: no loop machinery
+        else:
+            # real loop (not unrolled): one chunk's fp32 score temporaries
+            # live at a time per head
+            jax.lax.fori_loop(0, n, chunk, None)
 
 
-def _forward(q, k, v, scale):
-    """q/k/v: (B, S, H, D) -> (B, S, H, D)."""
-    B, S, H, D = q.shape
-    dp = _round_up(D, _LANE)
-    bq = min(_round_up(S, 16), 256)
-    sq = _round_up(S, bq)
-    bk = min(_round_up(S, _LANE), 1024)
-    sk = _round_up(S, bk)
-
-    qp = _prep(q, sq, dp)
-    kp = _prep(k, sk, dp)
-    vp = _prep(v, sk, dp)
-
-    grid = (B * H, sq // bq, sk // bk)
+def _forward(qkv, scale, num_heads):
+    """(B, S, 3D) -> (B, S, D)."""
+    B, S, threeD = qkv.shape
+    D = threeD // 3
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=S, block_k=bk),
-        out_shape=jax.ShapeDtypeStruct((B * H, sq, dp), q.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda i, j, kk: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dp), lambda i, j, kk: (i, kk, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, dp), lambda i, j, kk: (i, kk, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bq, dp), lambda i, j, kk: (i, j, 0),
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, num_heads=num_heads, D=D,
+                          exact=qkv.dtype == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, S, D), qkv.dtype),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((None, S, threeD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((None, S, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((bq, dp), jnp.float32),      # output accumulator
-            pltpu.VMEM((bq, _LANE), jnp.float32),   # running max
-            pltpu.VMEM((bq, _LANE), jnp.float32),   # running denominator
-        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * B * H * sq * sk * dp,
-            bytes_accessed=(B * H * (sq + 2 * sk) * dp + B * H * sq * dp)
-            * q.dtype.itemsize,
-            transcendentals=B * H * sq * sk,
+            flops=2 * 2 * B * S * S * D,
+            bytes_accessed=4 * B * S * D * qkv.dtype.itemsize,
+            transcendentals=B * S * S * num_heads,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(qp, kp, vp)
-
-    return _unprep(out, B, S, H, D)
+    )(qkv)
 
 
 # ---------------------------------------------------------------------------
@@ -165,145 +182,208 @@ def _forward(q, k, v, scale):
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                dk_acc, dv_acc, *, scale: float, kv_len: int):
-    """dq/dk/dv for one (bh, q-block); K/V resident, softmax recomputed.
+def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, dk_acc, dv_acc, *,
+                scale: float, num_heads: int, D: int, exact: bool):
+    """Packed dqkv for one batch row: softmax recomputed from q/k/v
+    (flash-style — no saved probabilities), dk/dv accumulated over q-chunks
+    in fp32 scratch and written into the packed output's k/v lane regions.
 
-    Zero-padded q rows carry zero dO rows, so their (finite, uniform) softmax
-    rows contribute nothing to dk/dv; padded key rows are masked to -inf.
+    Fast (bf16) path keeps the (rows, S) tensors unnormalized and folds the
+    1/denominator into dO (for dV), q (for dK) and dQ — all (rows, head_dim)
+    sized — so no (rows, S) normalization pass and no cross-lane reductions
+    exist anywhere (delta = rowsum(p*dp) also rides the MXU ones-matmul).
     """
-    j = pl.program_id(1)
-    nq = pl.num_programs(1)
+    prec = _precision(qkv_ref.dtype)
+    S = qkv_ref.shape[0]
+    hd = D // num_heads
+    bq, n = _chunks(S)
+    dtype = qkv_ref.dtype
+    ones = None if exact else jnp.ones((S, 128), dtype)
+    for j in range(num_heads):
+        hs = slice(j * hd, (j + 1) * hd)
+        k = qkv_ref[:, D + j * hd: D + (j + 1) * hd]
+        v = qkv_ref[:, 2 * D + j * hd: 2 * D + (j + 1) * hd]
+        dk_acc[:, hs] = jnp.zeros((S, hd), dk_acc.dtype)
+        dv_acc[:, hs] = jnp.zeros((S, hd), dv_acc.dtype)
 
-    @pl.when(j == 0)
-    def _init():
-        dk_acc[...] = jnp.zeros_like(dk_acc)
-        dv_acc[...] = jnp.zeros_like(dv_acc)
+        def chunk(c, _):
+            q = qkv_ref[pl.ds(c * bq, bq), hs]
+            do = do_ref[pl.ds(c * bq, bq), hs]
+            s = _dot(q, k, ((1,), (1,)), prec) * scale
+            if exact:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                p = p / jnp.sum(p, axis=-1, keepdims=True)   # (bq, S) fp32
+                pc = p.astype(dtype)
+                dv_acc[:, hs] += _dot(pc, do, ((0,), (0,)), prec)  # p^T dO
+                dp = _dot(do, v, ((1,), (1,)), prec)               # dO v^T
+                delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+                ds = (p * (dp - delta) * scale).astype(dtype)      # (bq, S)
+                dq = _dot(ds, k, ((1,), (0,)), prec)
+                dqkv_ref[pl.ds(c * bq, bq), hs] = dq.astype(dqkv_ref.dtype)
+                dk_acc[:, hs] += _dot(ds, q, ((0,), (0,)), prec)   # ds^T q
+            else:
+                p_u, inv = _unnormalized_softmax(s, dtype, prec, ones)
+                pc = p_u.astype(dtype)
+                # dV = p^T dO = p_u^T (dO * inv): scale the small tensor
+                do_s = (do.astype(jnp.float32) * inv).astype(dtype)
+                dv_acc[:, hs] += _dot(pc, do_s, ((0,), (0,)), prec)
+                dp = _dot(do, v, ((1,), (1,)), prec)               # dO v^T
+                # delta = rowsum(p * dp) = inv * rowsum(p_u * dp) via MXU
+                pd = p_u * dp                                      # (bq, S)
+                delta = _dot(pd.astype(dtype), ones,
+                             ((1,), (0,)), prec)[:, :1] * inv
+                # true ds = inv * p_u * (dp - delta) * scale; keep ds_u
+                # unnormalized and fold (inv*scale) into the hd-sized sides
+                ds_u = (p_u * (dp - delta)).astype(dtype)          # (bq, S)
+                dq = _dot(ds_u, k, ((1,), (0,)), prec) * (inv * scale)
+                dqkv_ref[pl.ds(c * bq, bq), hs] = dq.astype(dqkv_ref.dtype)
+                q_s = (q.astype(jnp.float32) * (inv * scale)).astype(dtype)
+                dk_acc[:, hs] += _dot(ds_u, q_s, ((0,), (0,)), prec)
+            return _
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    prec = _precision(q.dtype)
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec) * scale  # (bq, sk)
-    if kv_len != k.shape[0]:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < kv_len, s, -jnp.inf)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)               # (bq, sk) fp32
-
-    pc = p.astype(v.dtype)
-    dv_acc[...] += jax.lax.dot_general(                       # p^T dO
-        pc, do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    dp = jax.lax.dot_general(                                 # dO v^T
-        do, v, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)           # rowsum(p dp)
-    ds = (p * (dp - delta) * scale).astype(q.dtype)           # (bq, sk)
-    dq_ref[0] = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec).astype(dq_ref.dtype)
-    dk_acc[...] += jax.lax.dot_general(                       # ds^T q
-        ds, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
-
-    @pl.when(j == nq - 1)
-    def _finish():
-        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+        if n == 1:
+            chunk(0, None)
+        else:
+            jax.lax.fori_loop(0, n, chunk, None)
+        dqkv_ref[:, D + j * hd: D + (j + 1) * hd] = (
+            dk_acc[:, hs].astype(dqkv_ref.dtype))
+        dqkv_ref[:, 2 * D + j * hd: 2 * D + (j + 1) * hd] = (
+            dv_acc[:, hs].astype(dqkv_ref.dtype))
 
 
-def _backward(q, k, v, g, scale):
-    B, S, H, D = q.shape
-    dp = _round_up(D, _LANE)
-    bq = min(_round_up(S, 16), 256)
-    sq = _round_up(S, bq)
-    sk = _round_up(S, _LANE)
-
-    qp = _prep(q, sq, dp)
-    kp = _prep(k, sk, dp)
-    vp = _prep(v, sk, dp)
-    gp = _prep(g.astype(q.dtype), sq, dp)
-
-    grid = (B * H, sq // bq)
+def _backward(qkv, g, scale, num_heads):
+    B, S, threeD = qkv.shape
+    D = threeD // 3
     interpret = jax.default_backend() != "tpu"
-    blk = jax.ShapeDtypeStruct((B * H, sq, dp), q.dtype)
-    blk_kv = jax.ShapeDtypeStruct((B * H, sk, dp), q.dtype)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, kv_len=S),
-        out_shape=(blk, blk_kv, blk_kv),
-        grid=grid,
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, num_heads=num_heads, D=D,
+                          exact=qkv.dtype == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, S, threeD), qkv.dtype),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, S, threeD), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, S, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bq, dp), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((None, S, threeD), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((sk, dp), jnp.float32),   # dk accumulator
-            pltpu.VMEM((sk, dp), jnp.float32),   # dv accumulator
+            pltpu.VMEM((S, D), jnp.float32),   # dk accumulator
+            pltpu.VMEM((S, D), jnp.float32),   # dv accumulator
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * 2 * B * H * sq * sk * dp,
-            bytes_accessed=4 * B * H * (sq + sk) * dp * q.dtype.itemsize,
-            transcendentals=B * H * sq * sk,
+            flops=5 * 2 * B * S * S * D,
+            bytes_accessed=8 * B * S * D * qkv.dtype.itemsize,
+            transcendentals=B * S * S * num_heads,
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(qp, kp, vp, gp)
-
-    return (_unprep(dq, B, S, H, D).astype(q.dtype),
-            _unprep(dk, B, S, H, D).astype(k.dtype),
-            _unprep(dv, B, S, H, D).astype(v.dtype))
+    )(qkv, g.astype(qkv.dtype))
 
 
-def _xla_attention(q, k, v, scale):
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+
+def _xla_attention_qkv(qkv, scale, num_heads):
+    B, S, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    qkv = qkv.reshape(B, S, 3, num_heads, hd)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
-    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    p = jax.nn.softmax(logits, axis=-1).astype(qkv.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).reshape(B, S, D)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, scale):
-    return _forward(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash(qkv, scale, num_heads):
+    return _forward(qkv, scale, num_heads)
 
 
-def _flash_fwd(q, k, v, scale):
-    # flash-style residuals: only the inputs; softmax recomputed in backward
-    return _forward(q, k, v, scale), (q, k, v)
+def _flash_fwd(qkv, scale, num_heads):
+    # flash-style residuals: just the packed input; softmax recomputed in bwd
+    return _forward(qkv, scale, num_heads), qkv
 
 
-def _flash_bwd(scale, res, g):
-    q, k, v = res
-    if q.shape[1] > _BWD_MAX_SEQ:
-        # K/V no longer fit per (batch, head); recompute in XLA instead
-        _, vjp = jax.vjp(
-            lambda q_, k_, v_: _xla_attention(q_, k_, v_, scale), q, k, v)
-        return vjp(g)
-    return _backward(q, k, v, g, scale)
+def _flash_bwd(scale, num_heads, qkv, g):
+    return (_backward(qkv, g, scale, num_heads),)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
-def flash_attention(q, k, v, *, scale=None):
-    """Attention over (B, S, H, D) inputs: Pallas forward and backward."""
-    D = q.shape[-1]
-    scale = float(D ** -0.5 if scale is None else scale)
-    return _flash(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _hybrid(qkv, scale, num_heads):
+    # XLA's short-seq forward fusion is at flops peak — keep it; the win is
+    # the fused Pallas backward (no (B,H,S,S) probs through HBM)
+    return _xla_attention_qkv(qkv, scale, num_heads)
+
+
+def _hybrid_fwd(qkv, scale, num_heads):
+    return _xla_attention_qkv(qkv, scale, num_heads), qkv
+
+
+_hybrid.defvjp(_hybrid_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _flash_fwd_only(qkv, scale, num_heads):
+    # Pallas forward, XLA-recompute backward: for (_BWD_MAX_SEQ, _MAX_SEQ]
+    # where the fused backward's dqkv + fp32 dk/dv scratch exceed VMEM
+    return _forward(qkv, scale, num_heads)
+
+
+def _flash_fwd_only_fwd(qkv, scale, num_heads):
+    return _forward(qkv, scale, num_heads), qkv
+
+
+def _flash_fwd_only_bwd(scale, num_heads, qkv, g):
+    _, vjp = jax.vjp(lambda x: _xla_attention_qkv(x, scale, num_heads), qkv)
+    return vjp(g)
+
+
+_flash_fwd_only.defvjp(_flash_fwd_only_fwd, _flash_fwd_only_bwd)
+
+
+def flash_attention_qkv(qkv, *, scale=None, fwd_impl: str = "auto"):
+    """Attention over a packed (B, S, 3, H, hd) qkv tensor -> (B, S, H, hd).
+
+    The primary entry point: feeds directly off the fused qkv projection
+    (models/layers.py Attention) with no layout changes on either side (the
+    internal (B, S, 3*H*hd) view is a free reshape of contiguous dims).
+
+    fwd_impl:
+      - "auto":   XLA forward below _PALLAS_FWD_MIN_SEQ tokens (where its
+                  fusion is at flops peak), Pallas forward above.
+      - "xla":    force the hybrid (XLA fwd + Pallas fused bwd).
+      - "pallas": force the Pallas forward kernel.
+    Either way the backward is the fused Pallas kernel up to _BWD_MAX_SEQ.
+    """
+    B, S, three, H, hd = qkv.shape
+    assert three == 3, f"expected packed qkv with axis-2 == 3, got {qkv.shape}"
+    scale = float(hd ** -0.5 if scale is None else scale)
+    D = H * hd
+    flat = qkv.reshape(B, S, 3 * D)
+    if fwd_impl == "auto":
+        fwd_impl = "xla" if S < _PALLAS_FWD_MIN_SEQ else "pallas"
+    if not _supported(S, D):
+        out = _xla_attention_qkv(flat, scale, H)  # jax recompute VJP
+    elif S > _BWD_MAX_SEQ:
+        out = (_flash_fwd_only(flat, scale, H) if fwd_impl == "pallas"
+               else _xla_attention_qkv(flat, scale, H))
+    elif fwd_impl == "pallas":
+        out = _flash(flat, scale, H)              # fused Pallas fwd + bwd
+    else:
+        out = _hybrid(flat, scale, H)             # XLA fwd + Pallas bwd
+    return out.reshape(B, S, H, hd)
+
+
+def flash_attention(q, k, v, *, scale=None, fwd_impl: str = "auto"):
+    """Attention over separate (B, S, H, D) q/k/v tensors (compat wrapper:
+    packs into the qkv layout, then runs the same kernels)."""
+    return flash_attention_qkv(jnp.stack([q, k, v], axis=2), scale=scale,
+                               fwd_impl=fwd_impl)
