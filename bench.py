@@ -22,7 +22,7 @@ BASELINE_STEPS_PER_SEC = 0.84  # 1xA100, reference README.md:113
 
 def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
         attn_backend: str, remat_policy: str = "nothing",
-        fused_optimizer: bool = False):
+        fused_optimizer: bool = False, scan_unroll: int = 1):
     from fast_dit_tpu.diffusion import create_diffusion
     from fast_dit_tpu.models import DiT_models
     from fast_dit_tpu.train import create_train_state, make_train_step
@@ -30,7 +30,8 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
     latent = image_size // 8
     model = DiT_models[model_name](
         input_size=latent, dtype=jnp.bfloat16, remat=True,
-        remat_policy=remat_policy, attn_backend=attn_backend)
+        remat_policy=remat_policy, attn_backend=attn_backend,
+        scan_unroll=scan_unroll)
     schedule = create_diffusion("").schedule
     # bf16 params + fp32 master weights + bf16 Adam first moment: the config
     # that fits XL/2 Adam training in 16 GB HBM (the reference's AMP fast
@@ -78,6 +79,8 @@ def main():
     ap.add_argument("--attn-backend", default="auto")
     ap.add_argument("--remat-policy", default="nothing",
                     choices=["nothing", "attn", "attn_mlp"])
+    ap.add_argument("--scan-unroll", type=int, default=1,
+                    help="lax.scan unroll factor over the 28-block stack")
     ap.add_argument("--fused-optimizer", action=argparse.BooleanOptionalAction,
                     default=False,
                     help="single-sweep fused AdamW+EMA update (measured "
@@ -107,7 +110,8 @@ def main():
     try:
         sps, loss = run(args.model, args.global_batch_size, accum,
                         args.steps, args.image_size, args.attn_backend,
-                        args.remat_policy, args.fused_optimizer)
+                        args.remat_policy, args.fused_optimizer,
+                        args.scan_unroll)
     except Exception as e:  # OOM -> retry with gradient accumulation
         msg = str(e)
         if args.accum or not rest or not any(
@@ -128,6 +132,7 @@ def main():
                 "--steps", str(args.steps),
                 "--attn-backend", args.attn_backend,
                 "--remat-policy", args.remat_policy,
+                "--scan-unroll", str(args.scan_unroll),
                 "--accum-plan", ",".join(map(str, rest))]
         argv.append("--fused-optimizer" if args.fused_optimizer
                     else "--no-fused-optimizer")

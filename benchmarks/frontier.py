@@ -80,31 +80,35 @@ def main():
     rng = jax.random.PRNGKey(42)
     z = jax.random.normal(jax.random.fold_in(rng, 0), (2 * n, 4, latent, latent))
 
-    apply = lambda x, t, **kw: model.apply(
-        params, x, t, y, method=model.forward_with_cfg,
-        cfg_scale=args.cfg_scale, **kw)
-
     def run_config(sampler, steps, interval):
         diffusion = create_diffusion(
             str(steps) if sampler == "ddpm" else f"ddim{steps}")
-        if interval == 1:
-            loop = (diffusion.p_sample_loop if sampler == "ddpm"
-                    else diffusion.ddim_sample_loop)
-            fn = jax.jit(lambda: loop(apply, z.shape, noise=z, rng=rng,
-                                      clip_denoised=False)[:n])
-        else:
+
+        # params/z enter as jit ARGUMENTS — capturing them as constants
+        # ships gigabytes through the remote compile service per config
+        def fn(p, zz):
+            apply = lambda x, t, **kw: model.apply(
+                p, x, t, y, method=model.forward_with_cfg,
+                cfg_scale=args.cfg_scale, **kw)
+            if interval == 1:
+                loop = (diffusion.p_sample_loop if sampler == "ddpm"
+                        else diffusion.ddim_sample_loop)
+                return loop(apply, zz.shape, noise=zz, rng=rng,
+                            clip_denoised=False)[:n]
             loop = (diffusion.p_sample_loop_cached if sampler == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
-            fn = jax.jit(lambda: loop(
+            return loop(
                 lambda x, t: apply(x, t, want_cache=True),
                 lambda x, t, cache: apply(x, t, cache=cache),
-                z.shape, interval=interval, noise=z, rng=rng,
-                clip_denoised=False)[:n])
-        out = jax.device_get(fn())  # compile + materialize
+                zz.shape, interval=interval, noise=zz, rng=rng,
+                clip_denoised=False)[:n]
+
+        fn = jax.jit(fn)
+        out = jax.device_get(fn(params, z))  # compile + materialize
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            float(fn().sum())
+            float(fn(params, z).sum())
             times.append(time.perf_counter() - t0)
         times.sort()
         return np.asarray(out), times[len(times) // 2]

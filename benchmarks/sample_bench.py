@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cache-interval", type=int, default=1,
                     help="FORA layer caching (1 = off/exact)")
+    ap.add_argument("--quantize", default=None, choices=[None, "w8a8"],
+                    help="int8 block projections (2x MXU peak; approximate)")
     args = ap.parse_args()
 
     from fast_dit_tpu.diffusion import create_diffusion
@@ -40,7 +42,8 @@ def main():
     latent = args.image_size // 8
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = DiT_models[args.model](input_size=latent, dtype=dtype,
-                                   attn_backend=args.attn_backend)
+                                   attn_backend=args.attn_backend,
+                                   quant=args.quantize)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((1, 4, latent, latent)),
                         jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
@@ -85,7 +88,8 @@ def main():
                   f"{args.num_sampling_steps} DDPM steps, cfg {args.cfg_scale}, "
                   f"{args.dtype}, batch {n}"
                   + (f", cache {args.cache_interval}"
-                     if args.cache_interval > 1 else ""),
+                     if args.cache_interval > 1 else "")
+                  + (f", int8 {args.quantize}" if args.quantize else ""),
         "value": round(n / p50, 4),
         "unit": "images/sec/chip",
         "p50_latency_sec": round(p50, 3),

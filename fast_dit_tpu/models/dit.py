@@ -58,6 +58,9 @@ class DiT(nn.Module):
     #   "attn_mlp" — additionally save MLP outputs (2x the saved bytes)
     remat_policy: str = "nothing"
     scan_unroll: int = 1  # lax.scan unroll factor over the block stack
+    # int8 W8A8 block projections (ops/quant.py): 2x MXU throughput for
+    # sampling on v5e+; inference-only (round() has zero gradient)
+    quant: Optional[str] = None
 
     @property
     def out_channels(self) -> int:
@@ -94,6 +97,11 @@ class DiT(nn.Module):
           part that depends on the current timestep).
         """
         B = x.shape[0]
+        if self.quant:
+            from ..ops.quant import QUANT_MODES
+            assert self.quant in QUANT_MODES, (
+                f"quant={self.quant!r} not in {QUANT_MODES}")
+            assert not train, "int8 quantization is inference-only"
         x = PatchEmbed(self.patch_size, self.hidden_size, dtype=self.dtype,
                        name="x_embedder")(x)
         pos = get_2d_sincos_pos_embed(
@@ -134,11 +142,13 @@ class DiT(nn.Module):
             mlp_ratio: float
             dtype: jnp.dtype
             attn_backend: str
+            quant: Optional[str]
 
             def setup(self):
                 self.block = block(self.hidden_size, self.num_heads,
                                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
-                                   attn_backend=self.attn_backend)
+                                   attn_backend=self.attn_backend,
+                                   quant=self.quant)
 
             def __call__(self, carry, _):
                 xs, cs = carry
@@ -164,7 +174,7 @@ class DiT(nn.Module):
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
             methods=["__call__", "collect", "reuse"],
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
-          self.attn_backend, name="blocks")
+          self.attn_backend, self.quant, name="blocks")
         new_cache = None
         if cache is not None:
             (x, _), _ = stack.reuse((x, c), cache)

@@ -41,6 +41,7 @@ __all__ = [
     "Mlp",
     "DiTBlock",
     "FinalLayer",
+    "QuantDenseGeneral",
 ]
 
 xavier_uniform = nn.initializers.xavier_uniform()
@@ -151,6 +152,62 @@ class LabelEmbedder(nn.Module):
         return self.embedding_table(labels)
 
 
+class QuantDenseGeneral(nn.Module):
+    """Int8 (W8A8) drop-in for `nn.Dense`/`nn.DenseGeneral` over trailing
+    contraction axes.
+
+    Defines the SAME "kernel"/"bias" params (shapes, initializers, fp32
+    param dtype) as the flax modules it replaces, so a checkpoint trained
+    with the bf16 path loads into the quantized model unchanged — the
+    weights are quantized in-graph per call (ops/quant.py). Inference-only.
+    """
+
+    features: tuple  # int or tuple of output feature dims
+    axis: tuple = (-1,)  # trailing contraction axes of the input
+    use_bias: bool = True
+    kernel_init: nn.initializers.Initializer = xavier_uniform
+    bias_init: nn.initializers.Initializer = zeros_init
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from ..ops.quant import int8_matmul
+
+        features = (self.features if isinstance(self.features, (tuple, list))
+                    else (self.features,))
+        features = tuple(int(f) for f in features)
+        axis = tuple(a % x.ndim for a in
+                     (self.axis if isinstance(self.axis, (tuple, list))
+                      else (self.axis,)))
+        assert axis == tuple(range(x.ndim - len(axis), x.ndim)), (
+            f"contraction axes {self.axis} must be trailing")
+        contract = tuple(x.shape[a] for a in axis)
+
+        # match flax DenseGeneral exactly: initializers run on the flattened
+        # 2D/(features,) shapes (variance scaling sees true fan-in/out), then
+        # reshape — so init(quant model) == init(float model) bit-for-bit
+        def kernel_init_wrap(rng, shape, dtype):
+            flat = (int(np.prod(shape[:len(contract)])),
+                    int(np.prod(shape[len(contract):])))
+            return self.kernel_init(rng, flat, dtype).reshape(shape)
+
+        def bias_init_wrap(rng, shape, dtype):
+            return self.bias_init(rng, (int(np.prod(shape)),), dtype).reshape(shape)
+
+        kernel = self.param("kernel", kernel_init_wrap, contract + features,
+                            jnp.float32)
+        bias = (self.param("bias", bias_init_wrap, features, jnp.float32)
+                if self.use_bias else None)
+        K = int(np.prod(contract))
+        N = int(np.prod(features))
+        lead = x.shape[: x.ndim - len(axis)]
+        out = int8_matmul(
+            x.reshape(*lead, K), kernel.reshape(K, N),
+            bias=None if bias is None else bias.reshape(N),
+            out_dtype=self.dtype)
+        return out.reshape(*lead, *features)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with timm-compatible fused qkv
     (timm semantics as used at reference models_original.py:108).
@@ -166,6 +223,7 @@ class Attention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    quant: Optional[str] = None  # "w8a8" int8 projections (inference only)
 
     @nn.compact
     def __call__(self, x):
@@ -173,7 +231,8 @@ class Attention(nn.Module):
         H = self.num_heads
         assert D % H == 0
         hd = D // H
-        qkv = nn.DenseGeneral(
+        dense = QuantDenseGeneral if self.quant else nn.DenseGeneral
+        qkv = dense(
             features=(3, H, hd), use_bias=self.qkv_bias, kernel_init=xavier_uniform,
             bias_init=zeros_init, dtype=self.dtype, name="qkv")(x)
         backend = resolve_backend(self.attn_backend, N, B, H)
@@ -189,7 +248,7 @@ class Attention(nn.Module):
         else:
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, hd)
             out = dot_product_attention(q, k, v, backend=backend)
-        out = nn.DenseGeneral(
+        out = dense(
             features=D, axis=(-2, -1), kernel_init=xavier_uniform,
             bias_init=zeros_init, dtype=self.dtype, name="proj")(out)
         return out
@@ -202,14 +261,16 @@ class Mlp(nn.Module):
     hidden_features: int
     out_features: int
     dtype: jnp.dtype = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden_features, kernel_init=xavier_uniform,
-                     bias_init=zeros_init, dtype=self.dtype, name="fc1")(x)
+        dense = QuantDenseGeneral if self.quant else nn.Dense
+        x = dense(self.hidden_features, kernel_init=xavier_uniform,
+                  bias_init=zeros_init, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=True)
-        x = nn.Dense(self.out_features, kernel_init=xavier_uniform,
-                     bias_init=zeros_init, dtype=self.dtype, name="fc2")(x)
+        x = dense(self.out_features, kernel_init=xavier_uniform,
+                  bias_init=zeros_init, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -238,15 +299,19 @@ class DiTBlock(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
+    quant: Optional[str] = None  # int8 qkv/proj/fc1/fc2 (inference only)
 
     def setup(self):
+        # adaLN is batch-indexed (B, D) -> (B, 6D): ~1/256th of the token
+        # projections' flops — stays in the activation dtype even when quant
         self.adaLN_modulation = nn.Dense(
             6 * self.hidden_size, kernel_init=zeros_init,
             bias_init=zeros_init, dtype=self.dtype)
         self.attn = Attention(self.hidden_size, self.num_heads,
-                              dtype=self.dtype, attn_backend=self.attn_backend)
+                              dtype=self.dtype, attn_backend=self.attn_backend,
+                              quant=self.quant)
         self.mlp = Mlp(int(self.hidden_size * self.mlp_ratio),
-                       self.hidden_size, dtype=self.dtype)
+                       self.hidden_size, dtype=self.dtype, quant=self.quant)
         # LayerNorms carry no params; instances exist only so non-compact
         # methods can use them
         self.norm1 = nn.LayerNorm(epsilon=1e-6, use_bias=False,

@@ -70,6 +70,7 @@ def main(args):
     model = DiT_models[args.model](input_size=latent_size,
                                    num_classes=args.num_classes,
                                    attn_backend=args.attn_backend,
+                                   quant=args.quantize,
                                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     params = load_dit_params(args, model)
     diffusion = create_diffusion(str(args.num_sampling_steps))
@@ -155,6 +156,11 @@ def parse_args():
                              "k-th step, reuse per-layer attention/MLP "
                              "outputs in between (1 = off/exact; 2-3 trades "
                              "a little fidelity for ~1.5-2.5x speed)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["w8a8"],
+                        help="int8 W8A8 block projections (2x MXU peak on "
+                             "v5e+; a precision trade like bf16 -- see "
+                             "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim"],
                         help="ddim pairs naturally with --num-sampling-steps "

@@ -67,6 +67,7 @@ def main(args):
     model = DiT_models[args.model](input_size=latent_size,
                                    num_classes=args.num_classes,
                                    attn_backend=args.attn_backend,
+                                   quant=args.quantize,
                                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     ckpt_path = args.ckpt or f"DiT-XL-2-{args.image_size}x{args.image_size}.pt"
     if ckpt_path == "random":
@@ -220,6 +221,11 @@ if __name__ == "__main__":
     parser.add_argument("--cache-interval", type=int, default=1,
                         help="FORA layer caching: full model every k-th "
                              "step (1 = off/exact; approximate for k > 1)")
+    parser.add_argument("--quantize", type=str, default=None,
+                        choices=["w8a8"],
+                        help="int8 W8A8 block projections (2x MXU peak on "
+                             "v5e+; a precision trade like bf16 -- see "
+                             "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
                         choices=["ddpm", "ddim"])
     main(parser.parse_args())

@@ -60,7 +60,7 @@ def main(args):
     model = DiT_models[args.model](
         input_size=latent_size, num_classes=args.num_classes,
         dtype=dtype, remat=not args.no_remat, remat_policy=args.remat_policy,
-        attn_backend=args.attn_backend)
+        attn_backend=args.attn_backend, scan_unroll=args.scan_unroll)
 
     mesh = create_mesh(model=args.tp)
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training process
@@ -249,6 +249,8 @@ def parse_args():
                              "instead of recomputing")
     parser.add_argument("--attn-backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "einsum"])
+    parser.add_argument("--scan-unroll", type=int, default=1,
+                        help="lax.scan unroll factor over the block stack")
     parser.add_argument("--synthetic-data", action="store_true")
     parser.add_argument("--schedule-sampler", type=str, default="uniform",
                         choices=["uniform", "loss-second-moment"])
