@@ -65,9 +65,11 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
 
 
 def main():
-    from fast_dit_tpu.utils.platform import maybe_force_cpu
+    from fast_dit_tpu.utils.platform import (
+        maybe_enable_compilation_cache, maybe_force_cpu)
     maybe_force_cpu()  # FDT_FORCE_CPU=1 for CI (env vars alone are ignored
     # under the axon sitecustomize, see CLAUDE.md)
+    maybe_enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="DiT-XL/2")
     ap.add_argument("--global-batch-size", type=int, default=128)

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_dit_tpu.utils.platform import maybe_force_cpu, maybe_initialize_distributed
+from fast_dit_tpu.utils.platform import (
+    maybe_enable_compilation_cache, maybe_force_cpu,
+    maybe_initialize_distributed)
 from fast_dit_tpu.ckpt.vae_import import import_vae_checkpoint
 from fast_dit_tpu.data import ImageFolderIndex, load_image
 from fast_dit_tpu.models.vae import AutoencoderKL, DiagonalGaussian, VAE_SCALE
@@ -28,6 +30,7 @@ from fast_dit_tpu.models.vae import AutoencoderKL, DiagonalGaussian, VAE_SCALE
 
 def main(args):
     maybe_force_cpu()
+    maybe_enable_compilation_cache()
     maybe_initialize_distributed()
     rank = jax.process_index()
     world = jax.process_count()

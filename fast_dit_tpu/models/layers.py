@@ -208,6 +208,75 @@ class QuantDenseGeneral(nn.Module):
         return out.reshape(*lead, *features)
 
 
+class _FlatQKV(nn.Module):
+    """qkv projection emitting (B, N, 3*H*hd) directly — the lane-aligned
+    layout the Pallas attention kernels consume.
+
+    Param tree IDENTICAL to `nn.DenseGeneral(features=(3, H, hd))` — the
+    (D, 3, H, hd) kernel is reshaped at use, not at rest — so checkpoints,
+    the torch importer, and the TP sharding rules are unchanged. Exists
+    because the 5D output layout is not physically flat on TPU (hd=72 pads
+    to 128 lanes): emitting 5D and reshaping costs a full HBM round trip of
+    the qkv tensor per call (measured 19 ms/step at XL/2 bs128, trace table
+    in docs/ABLATIONS.md). The per-call weight reshape is (D, 3D)-sized —
+    ~30x smaller traffic, and folded into the bf16 weight cast.
+    """
+
+    num_heads: int
+    head_dim: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D = x.shape[-1]
+        H, hd = self.num_heads, self.head_dim
+        out = 3 * H * hd
+
+        def kernel_init_wrap(rng, shape, dtype):
+            # exactly DenseGeneral's wrapping: init on the flattened 2D shape
+            return xavier_uniform(rng, (D, out), dtype).reshape(shape)
+
+        kernel = self.param("kernel", kernel_init_wrap, (D, 3, H, hd),
+                            jnp.float32)
+        w = kernel.reshape(D, out).astype(self.dtype)
+        y = x.astype(self.dtype) @ w
+        if self.use_bias:
+            bias = self.param(
+                "bias", lambda r, s, d: zeros_init(r, (out,), d).reshape(s),
+                (3, H, hd), jnp.float32)
+            y = y + bias.reshape(out).astype(self.dtype)
+        return y
+
+
+class _FlatProj(nn.Module):
+    """Output projection consuming the kernel's flat (B, N, H*hd) output.
+
+    Param tree identical to `nn.DenseGeneral(features=D, axis=(-2, -1))`
+    (kernel (H, hd, D), bias (D,)); avoids reshaping the attention output
+    back to 5D (a lane-padding relayout) just to contract the head axes.
+    """
+
+    hidden_size: int
+    num_heads: int
+    head_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        D = self.hidden_size
+        H, hd = self.num_heads, self.head_dim
+
+        def kernel_init_wrap(rng, shape, dtype):
+            return xavier_uniform(rng, (H * hd, D), dtype).reshape(shape)
+
+        kernel = self.param("kernel", kernel_init_wrap, (H, hd, D),
+                            jnp.float32)
+        bias = self.param("bias", zeros_init, (D,), jnp.float32)
+        w = kernel.reshape(H * hd, D).astype(self.dtype)
+        return x.astype(self.dtype) @ w + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with timm-compatible fused qkv
     (timm semantics as used at reference models_original.py:108).
@@ -216,6 +285,9 @@ class Attention(nn.Module):
     so tensor parallelism shards the H axis directly (no fused-dim reshape
     for GSPMD to untangle). Numerically identical to the fused layout; the
     checkpoint importer reshapes torch's (3D, D) weights into these axes.
+    On the Pallas/hybrid paths the projections compute in the flat
+    (B, N, 3D)/(B, N, D) layouts (`_FlatQKV`/`_FlatProj`, same params) so
+    no tensor is ever relayouted between projection and kernel.
     """
 
     hidden_size: int
@@ -231,16 +303,28 @@ class Attention(nn.Module):
         H = self.num_heads
         assert D % H == 0
         hd = D // H
+        # the projections compute (and the kernel consumes) self.dtype
+        backend = resolve_backend(self.attn_backend, N, B, H, self.dtype)
+        if backend == "pallas" and not self.quant:
+            # layout-native path: project straight into the flat (B, N, 3D)
+            # lane-aligned layout the Pallas kernels consume and keep the
+            # output flat through the out-projection — zero relayouts end to
+            # end (+5% train steps/sec at XL/2 bs128). NOT used for
+            # "hybrid": there the XLA forward wants the 5D layout — its
+            # reshape pair cancels in forward-only sampling, while a genuine
+            # flat projection forces a real relayout before the fused
+            # attention (measured 1.19 vs 1.40 img/s at 256² bs8).
+            from ..ops.flash_attention import flash_attention_qkv_flat
+
+            qkv = _FlatQKV(H, hd, use_bias=self.qkv_bias, dtype=self.dtype,
+                           name="qkv")(x)
+            out = flash_attention_qkv_flat(qkv, H, fwd_impl="pallas")
+            return _FlatProj(D, H, hd, dtype=self.dtype, name="proj")(out)
         dense = QuantDenseGeneral if self.quant else nn.DenseGeneral
         qkv = dense(
             features=(3, H, hd), use_bias=self.qkv_bias, kernel_init=xavier_uniform,
             bias_init=zeros_init, dtype=self.dtype, name="qkv")(x)
-        backend = resolve_backend(self.attn_backend, N, B, H)
         if backend in ("pallas", "hybrid"):
-            # layout-native path: the Pallas kernels consume the packed
-            # (B, N, 3, H, hd) projection output directly (zero copies);
-            # "hybrid" keeps the flops-peak XLA forward and only swaps in
-            # the fused Pallas backward (see ops/attention.py)
             from ..ops.flash_attention import flash_attention_qkv
 
             out = flash_attention_qkv(

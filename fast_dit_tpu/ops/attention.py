@@ -55,7 +55,7 @@ _XLA_FWD_RESIDENCY_BYTES = 64 * 1024 * 1024
 
 
 def resolve_backend(backend: str, seq_len: int = 256, batch: int | None = None,
-                    num_heads: int = 16) -> str:
+                    num_heads: int = 16, dtype=None) -> str:
     """Pick the attention implementation.
 
     'auto' on TPU dispatches on the MECHANISM, not just seq length
@@ -72,9 +72,18 @@ def resolve_backend(backend: str, seq_len: int = 256, batch: int | None = None,
       (+11.4% train steps/sec at XL/2 bs128, +19% sampling at 1024 tokens).
 
     With batch unknown, falls back to the seq-length crossover alone.
+
+    'auto' with fp32 activations stays on "xla": the kernel wins above were
+    measured in bf16 (the fp32 kernels run exact row-max softmax at HIGHEST
+    precision — the parity path, not a throughput path), and the fp32
+    Pallas backward inside the largest remat+grad-accum train programs has
+    crashed the remote compile service. Explicit "pallas"/"hybrid" still
+    honor the request at any dtype.
     """
     if backend == "auto":
         if not _has_pallas_support():
+            return "xla"
+        if dtype is not None and jnp.dtype(dtype) == jnp.float32:
             return "xla"
         if batch is None:
             return "pallas" if seq_len >= 512 else "hybrid"
@@ -85,7 +94,8 @@ def resolve_backend(backend: str, seq_len: int = 256, batch: int | None = None,
 
 def dot_product_attention(q, k, v, *, backend: str = "auto", scale=None):
     """Dispatch attention to the chosen backend. q/k/v: (B, S, H, D)."""
-    backend = resolve_backend(backend, q.shape[1], q.shape[0], q.shape[2])
+    backend = resolve_backend(backend, q.shape[1], q.shape[0], q.shape[2],
+                              q.dtype)
     if backend in ("pallas", "hybrid"):
         from .flash_attention import flash_attention
 

@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_qkv"]
+__all__ = ["flash_attention", "flash_attention_qkv", "flash_attention_qkv_flat"]
 
 # largest seq kept resident per batch row ((S, 3D) block + fp32 scratch);
 # DiT tops out at 1024 (512^2, patch 2). The backward additionally holds
@@ -349,12 +349,16 @@ def _flash_fwd_only_bwd(scale, num_heads, qkv, g):
 _flash_fwd_only.defvjp(_flash_fwd_only_fwd, _flash_fwd_only_bwd)
 
 
-def flash_attention_qkv(qkv, *, scale=None, fwd_impl: str = "auto"):
-    """Attention over a packed (B, S, 3, H, hd) qkv tensor -> (B, S, H, hd).
+def flash_attention_qkv_flat(flat, num_heads: int, *, scale=None,
+                             fwd_impl: str = "auto"):
+    """Attention over a FLAT packed (B, S, 3*H*hd) qkv tensor -> (B, S, H*hd).
 
-    The primary entry point: feeds directly off the fused qkv projection
-    (models/layers.py Attention) with no layout changes on either side (the
-    internal (B, S, 3*H*hd) view is a free reshape of contiguous dims).
+    The zero-copy entry point: the (S, 3D) minor dim is lane-aligned, so no
+    relayout happens on either side. The 5D (B, S, 3, H, hd) projection
+    layout is NOT physically flat on TPU — hd=72 pads to 128 lanes, so
+    reshaping it costs a full HBM round trip of the qkv tensor per call
+    (measured 19 ms/step at XL/2 bs128; see docs/ABLATIONS.md). The flat
+    projection in models/layers.py emits this layout directly.
 
     fwd_impl:
       - "auto":   XLA forward below _PALLAS_FWD_MIN_SEQ tokens (where its
@@ -363,11 +367,12 @@ def flash_attention_qkv(qkv, *, scale=None, fwd_impl: str = "auto"):
       - "pallas": force the Pallas forward kernel.
     Either way the backward is the fused Pallas kernel up to _BWD_MAX_SEQ.
     """
-    B, S, three, H, hd = qkv.shape
-    assert three == 3, f"expected packed qkv with axis-2 == 3, got {qkv.shape}"
+    B, S, threeD = flat.shape
+    H = num_heads
+    assert threeD % (3 * H) == 0, (flat.shape, H)
+    D = threeD // 3
+    hd = D // H
     scale = float(hd ** -0.5 if scale is None else scale)
-    D = H * hd
-    flat = qkv.reshape(B, S, 3 * D)
     if fwd_impl == "auto":
         fwd_impl = "xla" if S < _PALLAS_FWD_MIN_SEQ else "pallas"
     if not _supported(S, D):
@@ -379,6 +384,20 @@ def flash_attention_qkv(qkv, *, scale=None, fwd_impl: str = "auto"):
         out = _flash(flat, scale, H)              # fused Pallas fwd + bwd
     else:
         out = _hybrid(flat, scale, H)             # XLA fwd + Pallas bwd
+    return out
+
+
+def flash_attention_qkv(qkv, *, scale=None, fwd_impl: str = "auto"):
+    """Attention over a packed (B, S, 3, H, hd) qkv tensor -> (B, S, H, hd).
+
+    Compat wrapper over `flash_attention_qkv_flat`; the 5D->flat reshape is
+    a relayout on TPU (see the flat entry's docstring) — hot paths should
+    project flat and call the flat entry directly.
+    """
+    B, S, three, H, hd = qkv.shape
+    assert three == 3, f"expected packed qkv with axis-2 == 3, got {qkv.shape}"
+    out = flash_attention_qkv_flat(qkv.reshape(B, S, 3 * H * hd), H,
+                                   scale=scale, fwd_impl=fwd_impl)
     return out.reshape(B, S, H, hd)
 
 

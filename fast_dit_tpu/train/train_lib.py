@@ -272,6 +272,16 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
     data_sh = None  # caller device_puts each batch key with batch_sharding
     rep = replicated_sharding(mesh)
 
+    if mesh.devices.size == 1:
+        # single chip: identical math, but skip the GSPMD in_shardings — a
+        # 1-device mesh gains nothing from the SPMD partitioner, and the
+        # partitioner pass has crashed the remote compile service on the
+        # largest remat+grad-accum programs (XL/2 bs128 accum>=2). The
+        # returned sharding tree still places the state (device_put works
+        # with NamedSharding over a 1-device mesh).
+        jitted = jax.jit(step_fn, donate_argnums=(0,))
+        return jitted, st_sh
+
     jitted = jax.jit(
         step_fn,
         in_shardings=(st_sh, data_sh, rep),

@@ -16,12 +16,39 @@ import os
 
 import jax
 
-__all__ = ["maybe_force_cpu", "maybe_initialize_distributed", "broadcast_string"]
+__all__ = ["maybe_force_cpu", "maybe_initialize_distributed",
+           "broadcast_string", "maybe_enable_compilation_cache"]
 
 
 def maybe_force_cpu():
     if os.environ.get("FDT_FORCE_CPU") == "1":
         jax.config.update("jax_platforms", "cpu")
+
+
+def maybe_enable_compilation_cache():
+    """Persist XLA compilations across processes.
+
+    First compiles of the big programs here (XL/2 train step, 250-step
+    sampling chains) take minutes; the persistent cache makes every rerun of
+    the same program near-instant. Opt-out with FDT_COMPILATION_CACHE=0, or
+    point FDT_COMPILATION_CACHE at a directory (default
+    ~/.cache/fast_dit_tpu/xla). The reference has no equivalent (torch
+    eager re-traces nothing, but also fuses nothing).
+    """
+    setting = os.environ.get("FDT_COMPILATION_CACHE", "")
+    if setting == "0":
+        return
+    path = setting or os.path.join(
+        os.path.expanduser("~"), ".cache", "fast_dit_tpu", "xla")
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything, including sub-second compiles (many small CPU
+        # test programs would otherwise churn the dir — those run with the
+        # cache disabled via conftest's platform override being CPU-only)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # unknown config names on old jax: cache is optional
+        pass
 
 
 def maybe_initialize_distributed():

@@ -19,7 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fast_dit_tpu.utils.platform import maybe_force_cpu, maybe_initialize_distributed
+from fast_dit_tpu.utils.platform import (
+    maybe_enable_compilation_cache, maybe_force_cpu,
+    maybe_initialize_distributed)
 from fast_dit_tpu.ckpt import find_model, state_dict_to_flax
 from fast_dit_tpu.ckpt.vae_import import import_vae_checkpoint
 from fast_dit_tpu.diffusion import create_diffusion
@@ -65,6 +67,7 @@ def maybe_load_vae(args):
 
 def main(args):
     maybe_force_cpu()
+    maybe_enable_compilation_cache()
     maybe_initialize_distributed()
     latent_size = args.image_size // 8
     model = DiT_models[args.model](input_size=latent_size,

@@ -25,7 +25,9 @@ import numpy as np
 from PIL import Image
 from tqdm import tqdm
 
-from fast_dit_tpu.utils.platform import maybe_force_cpu, maybe_initialize_distributed
+from fast_dit_tpu.utils.platform import (
+    maybe_enable_compilation_cache, maybe_force_cpu,
+    maybe_initialize_distributed)
 from fast_dit_tpu.ckpt import find_model, state_dict_to_flax
 from fast_dit_tpu.ckpt.vae_import import import_vae_checkpoint
 from fast_dit_tpu.diffusion import create_diffusion
@@ -52,6 +54,7 @@ def create_npz_from_sample_folder(sample_dir, num=50_000):
 
 def main(args):
     maybe_force_cpu()
+    maybe_enable_compilation_cache()
     maybe_initialize_distributed()
     rank = jax.process_index()
     world = jax.process_count()

@@ -130,6 +130,16 @@ def test_resolve_backend_dispatch():
         assert attention.resolve_backend("auto", 256) == "hybrid"
         assert attention.resolve_backend("auto", 512) == "pallas"
         assert attention.resolve_backend("auto", 1024) == "pallas"
+        # fp32 activations: auto stays XLA (the kernel wins are bf16-only;
+        # fp32 kernels are the HIGHEST-precision parity path), but explicit
+        # requests pass through
+        import jax.numpy as jnp
+        assert attention.resolve_backend("auto", 256, 128, 16,
+                                         jnp.float32) == "xla"
+        assert attention.resolve_backend("auto", 256, 128, 16,
+                                         jnp.bfloat16) == "pallas"
+        assert attention.resolve_backend("pallas", 256, 128, 16,
+                                         jnp.float32) == "pallas"
 
 
 def test_hybrid_backward_matches_naive():

@@ -174,6 +174,39 @@ def test_attention_backends_agree():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
 
 
+def test_flat_projection_path_matches_densegeneral():
+    """The Pallas/hybrid attention path projects in flat (B,N,3D)/(B,N,D)
+    layouts (_FlatQKV/_FlatProj) while CPU/xla uses nn.DenseGeneral; both
+    must define the SAME param tree (values included) and the same math.
+    Explicit backend='pallas' exercises the flat path in interpret mode."""
+    kw = dict(input_size=16, num_classes=10)
+    m_flat = DiT_models["DiT-S/2"](attn_backend="pallas", **kw)
+    m_ref = DiT_models["DiT-S/2"](attn_backend="einsum", **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 16, 16))
+    t = jnp.array([3, 500], jnp.int32)
+    y = jnp.array([1, 7], jnp.int32)
+    p_flat = m_flat.init({"params": jax.random.PRNGKey(4)}, x, t, y)
+    p_ref = m_ref.init({"params": jax.random.PRNGKey(4)}, x, t, y)
+    assert (jax.tree_util.tree_structure(p_flat)
+            == jax.tree_util.tree_structure(p_ref))
+    for a, b in zip(jax.tree_util.tree_leaves(p_flat),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # perturb (zero-init gates/head make the default output trivially 0),
+    # then: same params, either path -> same output (fp32 exact kernel,
+    # interpret mode)
+    leaves, treedef = jax.tree_util.tree_flatten(p_ref)
+    keys = jax.random.split(jax.random.PRNGKey(9), len(leaves))
+    p_pert = jax.tree_util.tree_unflatten(
+        treedef, [p + 0.03 * jax.random.normal(k, p.shape, p.dtype)
+                  for p, k in zip(leaves, keys)])
+    out_flat = m_flat.apply(p_pert, x, t, y)
+    out_ref = m_ref.apply(p_pert, x, t, y)
+    assert float(np.abs(np.asarray(out_ref)).max()) > 0
+    np.testing.assert_allclose(np.asarray(out_flat), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_torch_parity_primitives():
     """GELU-tanh / SiLU / LayerNorm / softmax vs torch CPU as an oracle
     (SURVEY.md §7 'fp32 bit-parity with torch' risk)."""

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from fast_dit_tpu.utils.platform import (
-    broadcast_string, maybe_force_cpu, maybe_initialize_distributed)
+    broadcast_string, maybe_enable_compilation_cache, maybe_force_cpu,
+    maybe_initialize_distributed)
 from fast_dit_tpu.ckpt import CheckpointManager, flax_to_state_dict
 from fast_dit_tpu.data import FeatureDataset, feature_batches, synthetic_features
 from fast_dit_tpu.diffusion import create_diffusion
@@ -30,6 +31,7 @@ from fast_dit_tpu.utils.logging import find_latest_experiment_dir
 
 def main(args):
     maybe_force_cpu()
+    maybe_enable_compilation_cache()
     maybe_initialize_distributed()
     # the reference's TF32 on/off ablation (train_tf32_disabled.py:12-13)
     # maps to XLA's matmul precision: "default" = fast (bf16 passes),
