@@ -91,29 +91,35 @@ def _loop(
             f"step_noise must be (T, *shape) = {(T, *shape)}, got {step_noise.shape}"
         )
 
+    if step_kind == "ddim_reverse":
+        idx = jnp.arange(T)          # forward: t = 0 .. T-1
+    else:
+        idx = jnp.arange(T - 1, -1, -1)  # reverse: t = T-1 .. 0
+
+    if needs_noise and step_noise is None:
+        # one bulk vmapped threefry call over the SAME fold_in(rng, i) keys
+        # a per-step call would use — bit-identical noise (pinned by the
+        # scan-vs-loop and interval=1 exactness tests). Measured
+        # performance-neutral at DiT shapes on TPU (XLA already overlaps
+        # the in-loop threefry with the model); kept because it removes the
+        # serial RNG dependency from the scan body outright.
+        step_noise = jax.vmap(
+            lambda i: jax.random.normal(
+                jax.random.fold_in(rng, i), shape, dtype))(idx)
+
     def body(x, scan_in):
         k, i = scan_in  # k: 0..T-1 step counter; i = T-1-k: timestep index
         t = jnp.full((B,), i, dtype=jnp.int32)
         t_model = sched.timestep_map[t]
         model_output = model_fn(x, t_model)
         cond_grad = cond_fn(x, t_model) if cond_fn is not None else None
-        if needs_noise:
-            if step_noise is not None:
-                n = step_noise[k]
-            else:
-                n = jax.random.normal(jax.random.fold_in(rng, i), shape, dtype)
-        else:
-            n = None
+        n = step_noise[k] if needs_noise else None
         res = _apply_step(step_kind, sched, model_output, x, t, n,
                           clip_denoised=clip_denoised, denoised_fn=denoised_fn,
                           cond_grad=cond_grad, eta=eta)
         ys = res.sample if return_intermediates else None
         return res.sample, ys
 
-    if step_kind == "ddim_reverse":
-        idx = jnp.arange(T)          # forward: t = 0 .. T-1
-    else:
-        idx = jnp.arange(T - 1, -1, -1)  # reverse: t = T-1 .. 0
     ks = jnp.arange(T)
     final, intermediates = jax.lax.scan(body, x_init, (ks, idx))
     if return_intermediates:
@@ -213,6 +219,15 @@ def _cached_loop(
     needs_noise = step_kind == "p" or eta != 0.0
     if needs_noise and rng is None:
         raise ValueError("stochastic sampling needs `rng`")
+    step_noise = None
+    if needs_noise:
+        # bulk-generate all T per-step noises in one vmapped threefry call
+        # (same fold_in(rng, i) keys as per-step calls: bit-identical —
+        # see the matching block in _loop)
+        step_noise = jax.vmap(
+            lambda i: jax.random.normal(
+                jax.random.fold_in(rng, i), shape, dtype))(
+                    T - 1 - jnp.arange(T))
 
     def one_step(x, cache, k_step, j):
         """Sub-step j of a period; j == 0 refreshes the cache."""
@@ -224,8 +239,7 @@ def _cached_loop(
         else:
             model_output = model_cached_fn(x, t_model, cache)
         cond_grad = cond_fn(x, t_model) if cond_fn is not None else None
-        n = (jax.random.normal(jax.random.fold_in(rng, i), shape, dtype)
-             if needs_noise else None)
+        n = step_noise[k_step] if needs_noise else None
         res = _apply_step(step_kind, sched, model_output, x, t, n,
                           clip_denoised=clip_denoised, denoised_fn=denoised_fn,
                           cond_grad=cond_grad, eta=eta)
