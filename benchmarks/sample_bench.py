@@ -34,6 +34,10 @@ def main():
                     help="FORA layer caching (1 = off/exact)")
     ap.add_argument("--quantize", default=None, choices=[None, "w8a8"],
                     help="int8 block projections (2x MXU peak; approximate)")
+    ap.add_argument("--sampler", default="ddpm",
+                    choices=["ddpm", "ddim", "dpm"],
+                    help="dpm = DPM-Solver++(2M): pair with small "
+                         "--num-sampling-steps (10-25)")
     args = ap.parse_args()
 
     from fast_dit_tpu.diffusion import create_diffusion
@@ -64,11 +68,18 @@ def main():
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
+            assert args.sampler == "ddpm"
             out = diffusion.p_sample_loop_cached(
                 lambda x, t: apply(x, t, want_cache=True),
                 lambda x, t, cache: apply(x, t, cache=cache),
                 z.shape, interval=args.cache_interval, noise=z, rng=rng,
                 clip_denoised=False)
+        elif args.sampler == "dpm":
+            out = diffusion.dpm_solver_sample_loop(apply, z.shape, noise=z,
+                                                   clip_denoised=False)
+        elif args.sampler == "ddim":
+            out = diffusion.ddim_sample_loop(apply, z.shape, noise=z, rng=rng,
+                                             clip_denoised=False)
         else:
             out = diffusion.p_sample_loop(apply, z.shape, noise=z, rng=rng,
                                           clip_denoised=False)
@@ -85,7 +96,8 @@ def main():
     print(json.dumps({
         "metric": f"sampling images/sec/chip, {args.model} "
                   f"{args.image_size}x{args.image_size}, "
-                  f"{args.num_sampling_steps} DDPM steps, cfg {args.cfg_scale}, "
+                  f"{args.num_sampling_steps} {args.sampler.upper()} steps, "
+                  f"cfg {args.cfg_scale}, "
                   f"{args.dtype}, batch {n}"
                   + (f", cache {args.cache_interval}"
                      if args.cache_interval > 1 else "")

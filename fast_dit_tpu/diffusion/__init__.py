@@ -35,8 +35,8 @@ from .gaussian import (
 )
 from .respace import space_timesteps
 from .sampling import (ddim_reverse_sample_loop, ddim_sample_loop,
-                       ddim_sample_loop_cached, p_sample_loop,
-                       p_sample_loop_cached)
+                       ddim_sample_loop_cached, dpm_solver_sample_loop,
+                       p_sample_loop, p_sample_loop_cached)
 from .schedule import (
     DiffusionSchedule,
     LossType,
@@ -176,6 +176,21 @@ class Diffusion:
             interval=interval, rng=rng, noise=noise,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, eta=eta, dtype=dtype,
+        )
+
+    def dpm_solver_sample_loop(self, model_fn, shape, *, rng=None, noise=None,
+                               order=2, clip_denoised=True, denoised_fn=None,
+                               model_kwargs=None, return_intermediates=False,
+                               dtype=jnp.float32):
+        """DPM-Solver++(2M) deterministic sampling (sampling.py) — the
+        honest-compute fast path: a second-order multistep solver reaching a
+        given ODE accuracy in far fewer full model calls (typically 10-25
+        respaced steps); order=1 is exactly eta=0 DDIM."""
+        return dpm_solver_sample_loop(
+            self._wrap(model_fn, model_kwargs), shape, self.schedule,
+            rng=rng, noise=noise, order=order, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            return_intermediates=return_intermediates, dtype=dtype,
         )
 
     def ddim_reverse_sample_loop(self, model_fn, x_start, *, clip_denoised=True,

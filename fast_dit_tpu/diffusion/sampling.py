@@ -25,7 +25,8 @@ from . import gaussian
 from .schedule import DiffusionSchedule
 
 __all__ = ["p_sample_loop", "ddim_sample_loop", "ddim_reverse_sample_loop",
-           "p_sample_loop_cached", "ddim_sample_loop_cached"]
+           "p_sample_loop_cached", "ddim_sample_loop_cached",
+           "dpm_solver_sample_loop"]
 
 
 def _init_noise(shape, noise, rng, dtype):
@@ -334,3 +335,95 @@ def ddim_reverse_sample_loop(
         clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_fn=cond_fn,
         return_intermediates=return_intermediates, dtype=dtype,
     )
+
+
+def dpm_solver_sample_loop(
+    model_fn: Callable,
+    shape,
+    sched: DiffusionSchedule,
+    *,
+    rng: Optional[jax.Array] = None,
+    noise=None,
+    order: int = 2,
+    clip_denoised: bool = True,
+    denoised_fn=None,
+    return_intermediates: bool = False,
+    dtype=jnp.float32,
+):
+    """DPM-Solver++(2M): deterministic second-order multistep sampler
+    (Lu et al., arXiv:2211.01095), in the data-prediction (x0)
+    parameterization over log-SNR (lambda) space.
+
+    Beyond-reference capability: the reference ships only DDPM ancestral
+    and DDIM first-order sampling (`/root/reference/diffusion/
+    gaussian_diffusion.py:376,513`). A second-order solver reaches a given
+    ODE accuracy in far fewer model calls — the honest-compute fast-sampling
+    path (every step still evaluates the full model, unlike the FORA layer
+    cache), typically run with 10-25 respaced steps.
+
+    Same contract as the other loops: one `lax.scan` over the respaced
+    timesteps, the model is called with original-process timesteps via
+    `sched.timestep_map`, `clip_denoised`/`denoised_fn` apply to the x0
+    prediction through the same `gaussian.p_mean_variance` path (so
+    LEARNED_RANGE outputs and every mean type are handled identically).
+
+    Exactness anchors (tests/test_dpm_solver.py): with `order=1` every
+    update reduces algebraically to the eta=0 DDIM step, and the final step
+    (to sigma=0) returns the pure x0 prediction — the same endpoint as the
+    DDIM loop's t=0 step. `order=2` adds the multistep correction
+    `D_bar = (1 + w) x0_k - w x0_{k-1}`, `w = h_k / (2 h_{k-1})`, with
+    first-order fallbacks at the first step (no history) and the last step
+    (h -> inf; the standard lower-order-final rule).
+
+    Deterministic: `rng`/`noise` only seed x_T.
+    """
+    assert order in (1, 2), order
+    x = _init_noise(shape, noise, rng, dtype)
+    B = shape[0]
+    T = sched.num_timesteps
+
+    # per-step coefficients in k-order (k = 0..T-1 visits t = T-1..0), with
+    # a virtual final target state = clean data (alpha=1, sigma=0), so every
+    # quantity below is finite in closed form:
+    #   x_{k+1} = (sigma_tgt / sigma_cur) x_k
+    #             + alpha_tgt (1 - e^{-h}) D_bar_k
+    #   e^{-h}  = (alpha_cur sigma_tgt) / (alpha_tgt sigma_cur)
+    abar = sched.alphas_cumprod[::-1].astype(jnp.float32)
+    alpha = jnp.sqrt(abar)
+    sigma = jnp.sqrt(1.0 - abar)
+    lam = 0.5 * (jnp.log(abar) - jnp.log1p(-abar))
+    a_tgt = jnp.concatenate([alpha[1:], jnp.ones((1,), jnp.float32)])
+    s_tgt = jnp.concatenate([sigma[1:], jnp.zeros((1,), jnp.float32)])
+    c_x = s_tgt / sigma                       # 0 at the final step
+    e_mh = alpha * s_tgt / (a_tgt * sigma)    # e^{-h}; 0 at the final step
+    c_d = a_tgt * (1.0 - e_mh)                # 1 at the final step
+    # h_k = lambda_{k+1} - lambda_k; final entry 0 => w[T-1] = 0 (the
+    # lower-order-final rule falls out of the encoding)
+    h = jnp.concatenate([lam[1:] - lam[:-1], jnp.zeros((1,), jnp.float32)])
+    if T > 1:
+        w = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                             h[1:] / (2.0 * h[:-1])])
+    else:
+        w = jnp.zeros((1,), jnp.float32)
+
+    def body(carry, k):
+        x, d_prev = carry
+        i = T - 1 - k
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        model_output = model_fn(x, sched.timestep_map[t])
+        d = gaussian.p_mean_variance(
+            sched, model_output, x, t,
+            clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+        ).pred_xstart
+        wk = w[k] if order == 2 else jnp.float32(0.0)
+        d_bar = (1.0 + wk) * d - wk * d_prev
+        x = (c_x[k] * x.astype(jnp.float32)
+             + c_d[k] * d_bar.astype(jnp.float32)).astype(dtype)
+        ys = x if return_intermediates else None
+        return (x, d), ys
+
+    (x, _), intermediates = jax.lax.scan(
+        body, (x, jnp.zeros_like(x)), jnp.arange(T))
+    if return_intermediates:
+        return x, intermediates
+    return x

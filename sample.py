@@ -102,6 +102,9 @@ def main(args):
         if args.cache_interval > 1:
             # FORA-style layer cache: full model every k-th step, cached
             # adaLN-gate-only steps in between (diffusion/sampling.py)
+            assert args.sampler != "dpm", (
+                "--cache-interval composes with ddpm/ddim; dpm is already "
+                "the honest-compute fast path (use fewer steps instead)")
             loop = (diffusion.p_sample_loop_cached if args.sampler == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
             samples = loop(
@@ -109,6 +112,11 @@ def main(args):
                 lambda x, t, cache: apply(x, t, cache=cache),
                 z.shape, interval=args.cache_interval, noise=z,
                 rng=jax.random.fold_in(rng, 1), clip_denoised=False)
+        elif args.sampler == "dpm":
+            # DPM-Solver++(2M): deterministic 2nd-order multistep — pair
+            # with a small --num-sampling-steps (10-25)
+            samples = diffusion.dpm_solver_sample_loop(
+                apply, z.shape, noise=z, clip_denoised=False)
         else:
             loop = (diffusion.p_sample_loop if args.sampler == "ddpm"
                     else diffusion.ddim_sample_loop)
@@ -165,9 +173,11 @@ def parse_args():
                              "v5e+; a precision trade like bf16 -- see "
                              "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim"],
+                        choices=["ddpm", "ddim", "dpm"],
                         help="ddim pairs naturally with --num-sampling-steps "
-                             "via the ddimN respacing")
+                             "via the ddimN respacing; dpm = DPM-Solver++"
+                             "(2M), a 2nd-order deterministic solver for "
+                             "small step counts (10-25)")
     return parser.parse_args()
 
 

@@ -147,6 +147,9 @@ def main(args):
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
+            assert sampler_kind != "dpm", (
+                "--cache-interval composes with ddpm/ddim; dpm is already "
+                "the honest-compute fast path (use fewer steps instead)")
             loop = (diffusion.p_sample_loop_cached if sampler_kind == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
             samples = loop(
@@ -154,6 +157,9 @@ def main(args):
                 lambda x, t, cache: apply(x, t, cache=cache),
                 z.shape, interval=args.cache_interval, noise=z,
                 rng=jax.random.fold_in(rng, 2), clip_denoised=False)
+        elif sampler_kind == "dpm":
+            samples = diffusion.dpm_solver_sample_loop(
+                apply, z.shape, noise=z, clip_denoised=False)
         else:
             loop = (diffusion.p_sample_loop if sampler_kind == "ddpm"
                     else diffusion.ddim_sample_loop)
@@ -230,5 +236,7 @@ if __name__ == "__main__":
                              "v5e+; a precision trade like bf16 -- see "
                              "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim"])
+                        choices=["ddpm", "ddim", "dpm"],
+                        help="dpm = DPM-Solver++(2M), deterministic "
+                             "2nd-order; pair with small step counts")
     main(parser.parse_args())

@@ -13,7 +13,9 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_cli(script, *args, timeout=600):
+def run_cli(script, *args, timeout=900):
+    # 900s: the train CLI's final orbax save adds a ~2 min tail on a busy
+    # CPU host; 600s flaked under load (round 3)
     env = dict(os.environ, FDT_FORCE_CPU="1")
     return subprocess.run(
         [sys.executable, os.path.join(REPO, script), *args],
