@@ -150,3 +150,16 @@ def test_train_export_pt_then_sample_from_orbax(tmp_path):
     assert lat.shape == (8, 4, 32, 32) and np.isfinite(lat).all()
     os.remove(os.path.join(REPO, "sample.npy"))
     os.remove(os.path.join(REPO, "sample.png"))
+
+
+@pytest.mark.slow
+def test_validate_pretrained_dry_run(tmp_path):
+    """The one-command pretrained-validation kit must keep working end to
+    end (it hand-builds the sample_ddp namespace, which silently drifts
+    when CLI flags are added — caught live in round 3 with --quantize)."""
+    r = run_cli("tools/validate_pretrained.py", "--dry-run",
+                "--out-dir", str(tmp_path), timeout=1200)
+    assert r.returncode == 0, (r.stdout[-1000:], r.stderr[-2000:])
+    out = r.stdout + r.stderr
+    assert "demo-label sample grid" in out
+    assert "FAIL" not in out, out[-2000:]

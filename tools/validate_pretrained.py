@@ -321,7 +321,7 @@ def main():
             global_seed=0, tf32=True, ckpt=dit_path,
             vae_ckpt=vae_path if (vae_path and os.path.exists(vae_path)) else None,
             attn_backend="auto", io_threads=8, bf16=not args.dry_run,
-            cache_interval=1, sampler="ddpm")
+            cache_interval=1, sampler="ddpm", quantize=None)
         if args.dry_run:
             # the dry-run .pt has the tiny custom config: bypass the registry
             sample_ddp.DiT_models[ns.model] = lambda **kw: model
