@@ -137,3 +137,25 @@ def test_make_grid_and_save(tmp_path):
     save_image(x, p)
     img = Image.open(p)
     assert img.size == (4 * 16 + 5 * 2, 2 * 16 + 3 * 2)
+
+
+def test_compilation_cache_helper(tmp_path, monkeypatch):
+    """maybe_enable_compilation_cache: default dir, explicit dir, and the
+    FDT_COMPILATION_CACHE=0 opt-out (CLIs call this on startup)."""
+    import jax
+
+    from fast_dit_tpu.utils.platform import maybe_enable_compilation_cache
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.setenv("FDT_COMPILATION_CACHE", str(tmp_path / "xla"))
+        maybe_enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "xla")
+        assert (tmp_path / "xla").is_dir()
+
+        monkeypatch.setenv("FDT_COMPILATION_CACHE", "0")
+        jax.config.update("jax_compilation_cache_dir", None)
+        maybe_enable_compilation_cache()  # opt-out: must not re-enable
+        assert jax.config.jax_compilation_cache_dir is None
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
