@@ -1,0 +1,107 @@
+"""Procedural dataset (data/synthetic.py) + quality-study plumbing.
+
+The dataset exists so quality trades (cache interval, low-step samplers) can
+be measured on a genuinely trained model offline — see
+benchmarks/quality_study.py and docs/ABLATIONS.md. These tests pin the data
+contract and run the study's train/eval plumbing end-to-end at toy scale.
+"""
+
+import numpy as np
+import pytest
+
+from fast_dit_tpu.data.synthetic import (CLASS_NAMES, NUM_CLASSES,
+                                         class_colors, synth_batch,
+                                         synth_dataset)
+
+
+def test_contract_shapes_range_dtype():
+    y = np.arange(20) % NUM_CLASSES
+    x = synth_batch(y, seed=0)
+    assert x.shape == (20, 3, 32, 32)
+    assert x.dtype == np.float32
+    assert x.min() >= -1.0 and x.max() <= 1.0
+    assert len(CLASS_NAMES) == NUM_CLASSES == len(class_colors())
+
+
+def test_deterministic_and_seed_sensitive():
+    y = np.arange(16) % NUM_CLASSES
+    a = synth_batch(y, seed=7)
+    b = synth_batch(y, seed=7)
+    c = synth_batch(y, seed=8)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0.1
+
+
+def test_image_size_parameter():
+    x = synth_batch(np.zeros(2, np.int64), seed=0, image_size=16)
+    assert x.shape == (2, 3, 16, 16)
+
+
+def test_classes_are_visually_distinct():
+    # per-class mean images must pairwise differ (the class signal a
+    # conditional model must learn); nuisance variation must be nonzero
+    n = 64
+    means = []
+    for cls in range(NUM_CLASSES):
+        x = synth_batch(np.full(n, cls), seed=3)
+        means.append(x.mean(axis=0))
+        assert x.std(axis=0).mean() > 0.01, f"class {cls} has no variation"
+    means = np.stack(means)
+    for i in range(NUM_CLASSES):
+        for j in range(i + 1, NUM_CLASSES):
+            d = np.abs(means[i] - means[j]).mean()
+            assert d > 0.02, f"classes {i},{j} indistinguishable (d={d:.4f})"
+
+
+def test_labels_validated():
+    with pytest.raises(ValueError):
+        synth_batch(np.array([NUM_CLASSES]), seed=0)
+    with pytest.raises(ValueError):
+        synth_batch(np.array([[0, 1]]), seed=0)
+
+
+def test_dataset_split_balanced():
+    x, y = synth_dataset(40, seed=0)
+    assert x.shape == (40, 3, 32, 32)
+    counts = np.bincount(y, minlength=NUM_CLASSES)
+    assert (counts == 4).all()
+
+
+def test_classifier_learns_the_classes():
+    # the study's judge CNN must separate the classes quickly — 60 steps on
+    # CPU should already be far above chance on a held-out split
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from benchmarks.quality_study import train_classifier
+
+    _, _, acc = train_classifier(image_size=16, steps=60, batch=64,
+                                 log_every=0, seed=0)
+    assert acc > 0.5, f"judge CNN failed to learn (holdout acc {acc})"
+
+
+@pytest.mark.slow
+def test_quality_study_plumbing_end_to_end():
+    # toy-scale full pipeline: train a tiny DiT a few steps, then run two
+    # sampling configs through the metric stack (CPU; minutes)
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from benchmarks.quality_study import (evaluate_configs, train_classifier,
+                                          train_dit)
+
+    clf_params, clf_apply, _ = train_classifier(
+        image_size=16, steps=30, batch=32, log_every=0)
+    model, ema, loss = train_dit(model_name="DiT-S/8", image_size=16,
+                                 steps=3, batch=16, log_every=0,
+                                 attn_backend="xla")
+    assert np.isfinite(loss)
+    rows = evaluate_configs(
+        model, ema, clf_params, clf_apply, image_size=16, num_eval=16,
+        batch=8, configs=[("ddim", 8, 1, 1.5), ("dpm", 4, 1, 1.5),
+                          ("ddpm", 10, 2, 1.5)])
+    assert rows[0]["config"] == "real-vs-real (floor)"
+    assert len(rows) == 4
+    for r in rows:
+        assert np.isfinite(r["fid"]) and np.isfinite(r["kid"])
+        assert 0.0 <= r["cls_acc"] <= 1.0
+    # untrained-ish model must score far worse than the real floor
+    assert rows[1]["fid"] > rows[0]["fid"]
