@@ -131,7 +131,8 @@ def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
 
     model = DiT_models[model_name](
         input_size=image_size, in_channels=3, num_classes=NUM_CLASSES,
-        dtype=jnp.bfloat16, attn_backend=attn_backend)
+        dtype=jnp.bfloat16, attn_backend=attn_backend,
+        remat=True)  # train.py's default: full activations at bs256 OOM 16GB
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training
     state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr)
     step_fn = jax.jit(
