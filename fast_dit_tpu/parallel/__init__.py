@@ -8,6 +8,8 @@ from .mesh import (
     replicated_sharding,
     shard_params,
 )
+from .pipefusion import (init_kv_cache, pipefusion_forward,
+                         pipefusion_sample_loop)
 from .pipeline import create_pipeline_mesh, dit_pipeline_forward, pipeline_apply
 
 __all__ = [
@@ -16,7 +18,10 @@ __all__ = [
     "create_pipeline_mesh",
     "dit_param_spec",
     "dit_pipeline_forward",
+    "init_kv_cache",
     "param_shardings",
+    "pipefusion_forward",
+    "pipefusion_sample_loop",
     "pipeline_apply",
     "replicated_sharding",
     "shard_params",
