@@ -47,6 +47,12 @@ def main():
     ap.add_argument("--samplers", default="ddpm:250,ddim:100,ddim:50",
                     help="comma list of sampler:steps")
     ap.add_argument("--intervals", default="1,2,3,4")
+    ap.add_argument("--tome-mlp", action="store_true",
+                    help="token-merge the MLP branch too in the tome rows")
+    ap.add_argument("--tome-ratios", default="",
+                    help="comma list of token-merging ratios to run as extra "
+                         "ddpm250 rows (alone and composed with cache k=2), "
+                         "e.g. '0.5,0.75'")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
@@ -80,15 +86,17 @@ def main():
     rng = jax.random.PRNGKey(42)
     z = jax.random.normal(jax.random.fold_in(rng, 0), (2 * n, 4, latent, latent))
 
-    def run_config(sampler, steps, interval):
+    def run_config(sampler, steps, interval, tome_ratio=0.0):
         diffusion = create_diffusion(
             f"ddim{steps}" if sampler == "ddim" else str(steps))
+        mdl = (model.clone(tome_ratio=tome_ratio, tome_mlp=args.tome_mlp)
+               if tome_ratio else model)
 
         # params/z enter as jit ARGUMENTS — capturing them as constants
         # ships gigabytes through the remote compile service per config
         def fn(p, zz):
-            apply = lambda x, t, **kw: model.apply(
-                p, x, t, y, method=model.forward_with_cfg,
+            apply = lambda x, t, **kw: mdl.apply(
+                p, x, t, y, method=mdl.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
             if sampler == "dpm":
                 return diffusion.dpm_solver_sample_loop(
@@ -140,6 +148,21 @@ def main():
                 "p50_latency_sec": round(p50, 3),
                 "rel_l2_vs_own_exact": round(
                     rel_l2(out, own_exact[(sampler, steps)]), 5),
+            }
+            if ref250 is not None:
+                row["rel_l2_vs_ddpm250"] = round(rel_l2(out, ref250), 5)
+            print(json.dumps(row), flush=True)
+
+    # token-merging rows: ddpm250 at each ratio, alone and with cache k=2
+    ratios = [float(r) for r in args.tome_ratios.split(",") if r]
+    for ratio in ratios:
+        for k in (1, 2):
+            out, p50 = run_config("ddpm", 250, k, tome_ratio=ratio)
+            row = {
+                "sampler": "ddpm", "steps": 250, "cache_interval": k,
+                "tome_ratio": ratio, "tome_mlp": args.tome_mlp,
+                "img_per_sec": round(n / p50, 4),
+                "p50_latency_sec": round(p50, 3),
             }
             if ref250 is not None:
                 row["rel_l2_vs_ddpm250"] = round(rel_l2(out, ref250), 5)

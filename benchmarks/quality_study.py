@@ -162,20 +162,28 @@ def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
 # ---------------------------------------------------------------------------
 
 def default_configs():
-    # (sampler, steps, cache_interval, cfg_scale)
+    # (sampler, steps, cache_interval, cfg_scale[, tome_ratio])
     return ([("ddpm", 250, k, 1.5) for k in (1, 2, 3, 4)]
             + [("ddim", 100, 1, 1.5), ("ddim", 50, 1, 1.5),
                ("ddim", 50, 2, 1.5), ("ddim", 50, 4, 1.5),
                ("dpm", 25, 1, 1.5), ("dpm", 15, 1, 1.5), ("dpm", 10, 1, 1.5),
-               ("ddpm", 250, 1, 1.0)])
+               ("ddpm", 250, 1, 1.0),
+               # token merging (ops/tome.py): attention-only (default),
+               # composed with cache, and the rejected +mlp mode
+               ("ddpm", 250, 1, 1.5, 0.5), ("ddpm", 250, 1, 1.5, 0.75),
+               ("ddpm", 250, 2, 1.5, 0.5),
+               ("ddpm", 250, 1, 1.5, 0.5, True)])
 
 
-def make_sampler(model, ema, sampler, steps, interval, cfg_scale, *,
-                 image_size, batch):
+def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
+                 tome_ratio=0.0, tome_mlp=False, *, image_size, batch):
     """jitted (labels, rng) -> (batch, 3, H, W) samples in [-1, 1]."""
     jax, jnp = _lazy_imports()
     from fast_dit_tpu.diffusion import create_diffusion
 
+    if tome_ratio > 0:
+        model = model.clone(tome_ratio=tome_ratio,  # no params change
+                            tome_mlp=tome_mlp)
     diffusion = create_diffusion(
         f"ddim{steps}" if sampler == "ddim" else str(steps))
     use_cfg = cfg_scale > 1.0
@@ -258,9 +266,12 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         save_image(real_a[:40], os.path.join(grid_dir, "quality_study_real.png"),
                    nrow=10)
 
-    for sampler, steps, interval, cfg in configs:
-        run = make_sampler(model, ema, sampler, steps, interval, cfg,
-                           image_size=image_size, batch=batch)
+    for cfg_row in configs:
+        sampler, steps, interval, cfg = cfg_row[:4]
+        tome = cfg_row[4] if len(cfg_row) > 4 else 0.0
+        tome_mlp = cfg_row[5] if len(cfg_row) > 5 else False
+        run = make_sampler(model, ema, sampler, steps, interval, cfg, tome,
+                           tome_mlp, image_size=image_size, batch=batch)
         gen, times = [], []
         for i in range(0, num_eval, batch):
             y = jnp.asarray(labels[i: i + batch])
@@ -276,10 +287,13 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         steady = sorted(times[1:])[len(times[1:]) // 2] if len(times) > 1 else times[0]
         name = (f"{sampler}{steps}"
                 + (f" k={interval}" if interval > 1 else "")
+                + (f" tome={tome}{'+mlp' if tome_mlp else ''}"
+                   if tome > 0 else "")
                 + (" no-cfg" if cfg <= 1.0 else ""))
         row = {
             "config": name, "sampler": sampler, "steps": steps,
             "cache_interval": interval, "cfg_scale": cfg,
+            "tome_ratio": tome, "tome_mlp": tome_mlp,
             "fid": round(compute_fid(feats_a, feats_g, ident), 4),
             "kid": round(compute_kid(feats_a, feats_g, ident)[0], 6),
             "cls_acc": round(float((preds_g == labels).mean()), 4),

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cache-interval", type=int, default=1,
                     help="FORA layer caching (1 = off/exact)")
+    ap.add_argument("--tome-ratio", type=float, default=0.0,
+                    help="token merging fraction (0 = off/exact)")
+    ap.add_argument("--tome-mlp", action="store_true",
+                    help="token-merge the MLP branch too")
     ap.add_argument("--quantize", default=None, choices=[None, "w8a8"],
                     help="int8 block projections (2x MXU peak; approximate)")
     ap.add_argument("--sampler", default="ddpm",
@@ -47,7 +51,9 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     model = DiT_models[args.model](input_size=latent, dtype=dtype,
                                    attn_backend=args.attn_backend,
-                                   quant=args.quantize)
+                                   quant=args.quantize,
+                                   tome_ratio=args.tome_ratio,
+                                   tome_mlp=args.tome_mlp)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((1, 4, latent, latent)),
                         jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
@@ -101,7 +107,10 @@ def main():
                   f"{args.dtype}, batch {n}"
                   + (f", cache {args.cache_interval}"
                      if args.cache_interval > 1 else "")
-                  + (f", int8 {args.quantize}" if args.quantize else ""),
+                  + (f", int8 {args.quantize}" if args.quantize else "")
+                  + (f", tome {args.tome_ratio}"
+                       f"{'+mlp' if args.tome_mlp else ''}"
+                     if args.tome_ratio > 0 else ""),
         "value": round(n / p50, 4),
         "unit": "images/sec/chip",
         "p50_latency_sec": round(p50, 3),

@@ -61,6 +61,13 @@ class DiT(nn.Module):
     # int8 W8A8 block projections (ops/quant.py): 2x MXU throughput for
     # sampling on v5e+; inference-only (round() has zero gradient)
     quant: Optional[str] = None
+    # token merging (ops/tome.py): fraction of tokens merged away inside
+    # every block's attention (approximate; 0 = off, bit-exact).
+    # Clipped to 0.75 (the 2x2 dst grid); composes with the FORA cache
+    tome_ratio: float = 0.0
+    # additionally merge the MLP branch: ~2x the saving, ~8x the drift
+    # (docs/ABLATIONS.md "Token merging" section)
+    tome_mlp: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -143,12 +150,15 @@ class DiT(nn.Module):
             dtype: jnp.dtype
             attn_backend: str
             quant: Optional[str]
+            tome_r: int
+            tome_mlp: bool
 
             def setup(self):
                 self.block = block(self.hidden_size, self.num_heads,
                                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                                    attn_backend=self.attn_backend,
-                                   quant=self.quant)
+                                   quant=self.quant, tome_r=self.tome_r,
+                                   tome_mlp=self.tome_mlp)
 
             def __call__(self, carry, _):
                 xs, cs = carry
@@ -165,6 +175,12 @@ class DiT(nn.Module):
                 xs = self.block.cached_step(xs, cs, *cache_l)
                 return (xs, cs), None
 
+        if self.tome_ratio > 0:
+            from ..ops.tome import tome_merge_count
+            assert not train, "token merging is inference-only"
+            tome_r = tome_merge_count(self.num_patches, self.tome_ratio)
+        else:
+            tome_r = 0
         stack = nn.scan(
             BlockStack,
             variable_axes={"params": 0},
@@ -174,7 +190,8 @@ class DiT(nn.Module):
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
             methods=["__call__", "collect", "reuse"],
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
-          self.attn_backend, self.quant, name="blocks")
+          self.attn_backend, self.quant, tome_r, self.tome_mlp,
+          name="blocks")
         new_cache = None
         if cache is not None:
             (x, _), _ = stack.reuse((x, c), cache)

@@ -384,6 +384,13 @@ class DiTBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_backend: str = "auto"
     quant: Optional[str] = None  # int8 qkv/proj/fc1/fc2 (inference only)
+    # token merging (ops/tome.py): attention runs on N - tome_r tokens,
+    # merged per block by input similarity. 0 = off (bit-exact default)
+    tome_r: int = 0
+    # also merge the MLP branch: ~2x the flops saving but ~8x the drift on
+    # a trained model (MLP is purely per-token, so merging forces identical
+    # outputs within groups — the ToMe-SD finding, measured in ABLATIONS)
+    tome_mlp: bool = False
 
     def setup(self):
         # adaLN is batch-indexed (B, D) -> (B, 6D): ~1/256th of the token
@@ -412,15 +419,29 @@ class DiTBlock(nn.Module):
         return x
 
     def full_step(self, x, c):
-        """Block forward that also returns (attn_out, mlp_out) for caching."""
+        """Block forward that also returns (attn_out, mlp_out) for caching.
+
+        With `tome_r > 0` (token merging, ops/tome.py) one match is computed
+        from the block input and the attention branch (plus the MLP branch
+        iff `tome_mlp` — ToMe-SD's per-branch scheme with its default off)
+        runs on the merged N - tome_r tokens; the unmerged branch outputs
+        keep the residual stream — and the FORA cache contract — at full
+        length.
+        """
         (shift_msa, scale_msa, gate_msa,
          shift_mlp, scale_mlp, gate_mlp) = self._modulation(c)
-        attn_out = self.attn(modulate(self.norm1(x), shift_msa, scale_msa))
+        if self.tome_r > 0:
+            from ..ops.tome import bipartite_soft_matching_2d
+            m, u = bipartite_soft_matching_2d(x, self.tome_r)
+        else:
+            m = u = lambda t: t
+        mm, um = (m, u) if self.tome_mlp else (lambda t: t, lambda t: t)
+        attn_out = u(self.attn(m(modulate(self.norm1(x), shift_msa, scale_msa))))
         # names are no-ops unless a selective remat policy saves them
         # (models/dit.py remat_policy="attn"/"attn_mlp")
         attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + gate_msa[:, None, :] * attn_out
-        mlp_out = self.mlp(modulate(self.norm2(x), shift_mlp, scale_mlp))
+        mlp_out = um(self.mlp(mm(modulate(self.norm2(x), shift_mlp, scale_mlp))))
         mlp_out = checkpoint_name(mlp_out, "mlp_out")
         x = x + gate_mlp[:, None, :] * mlp_out
         return x, (attn_out, mlp_out)

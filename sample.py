@@ -74,6 +74,8 @@ def main(args):
                                    num_classes=args.num_classes,
                                    attn_backend=args.attn_backend,
                                    quant=args.quantize,
+                                   tome_ratio=args.tome_ratio,
+                                   tome_mlp=args.tome_mlp,
                                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     params = load_dit_params(args, model)
     diffusion = create_diffusion(str(args.num_sampling_steps))
@@ -167,6 +169,15 @@ def parse_args():
                              "k-th step, reuse per-layer attention/MLP "
                              "outputs in between (1 = off/exact; 2-3 trades "
                              "a little fidelity for ~1.5-2.5x speed)")
+    parser.add_argument("--tome-ratio", type=float, default=0.0,
+                        help="token merging (ops/tome.py): fraction of "
+                             "tokens merged inside every block's "
+                             "attention/MLP (0 = off/exact; 0.5 is a good "
+                             "speed-quality point, max 0.75; approximate "
+                             "like --cache-interval and composes with it)")
+    parser.add_argument("--tome-mlp", action="store_true",
+                        help="token-merge the MLP branch too (~2x the "
+                             "saving, ~8x the drift -- see ABLATIONS)")
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["w8a8"],
                         help="int8 W8A8 block projections (2x MXU peak on "

@@ -71,6 +71,8 @@ def main(args):
                                    num_classes=args.num_classes,
                                    attn_backend=args.attn_backend,
                                    quant=args.quantize,
+                                   tome_ratio=args.tome_ratio,
+                                   tome_mlp=args.tome_mlp,
                                    dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     ckpt_path = args.ckpt or f"DiT-XL-2-{args.image_size}x{args.image_size}.pt"
     if ckpt_path == "random":
@@ -230,6 +232,15 @@ if __name__ == "__main__":
     parser.add_argument("--cache-interval", type=int, default=1,
                         help="FORA layer caching: full model every k-th "
                              "step (1 = off/exact; approximate for k > 1)")
+    parser.add_argument("--tome-ratio", type=float, default=0.0,
+                        help="token merging (ops/tome.py): fraction of "
+                             "tokens merged inside every block's "
+                             "attention/MLP (0 = off/exact; 0.5 is a good "
+                             "speed-quality point, max 0.75; approximate "
+                             "like --cache-interval and composes with it)")
+    parser.add_argument("--tome-mlp", action="store_true",
+                        help="token-merge the MLP branch too (~2x the "
+                             "saving, ~8x the drift -- see ABLATIONS)")
     parser.add_argument("--quantize", type=str, default=None,
                         choices=["w8a8"],
                         help="int8 W8A8 block projections (2x MXU peak on "
