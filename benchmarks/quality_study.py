@@ -172,11 +172,16 @@ def default_configs():
                # composed with cache, and the rejected +mlp mode
                ("ddpm", 250, 1, 1.5, 0.5), ("ddpm", 250, 1, 1.5, 0.75),
                ("ddpm", 250, 2, 1.5, 0.5),
-               ("ddpm", 250, 1, 1.5, 0.5, True)])
+               ("ddpm", 250, 1, 1.5, 0.5, True),
+               # nonuniform cache-refresh placement: same budget as k=3/4
+               ("ddpm", 250, 3, 1.5, 0.0, False, "logsnr"),
+               ("ddpm", 250, 4, 1.5, 0.0, False, "logsnr"),
+               ("ddpm", 250, 4, 1.5, 0.0, False, "abar")])
 
 
 def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
-                 tome_ratio=0.0, tome_mlp=False, *, image_size, batch):
+                 tome_ratio=0.0, tome_mlp=False, cache_schedule="uniform", *,
+                 image_size, batch):
     """jitted (labels, rng) -> (batch, 3, H, W) samples in [-1, 1]."""
     jax, jnp = _lazy_imports()
     from fast_dit_tpu.diffusion import create_diffusion
@@ -212,7 +217,8 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
                     else diffusion.ddim_sample_loop_cached)
             out = loop(lambda x, t: apply(x, t, want_cache=True),
                        lambda x, t, cache: apply(x, t, cache=cache),
-                       z.shape, interval=interval, noise=z,
+                       z.shape, interval=interval,
+                       refresh_schedule=cache_schedule, noise=z,
                        rng=jax.random.fold_in(rng, 1), clip_denoised=True)
         return out[:batch]
 
@@ -270,8 +276,10 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         sampler, steps, interval, cfg = cfg_row[:4]
         tome = cfg_row[4] if len(cfg_row) > 4 else 0.0
         tome_mlp = cfg_row[5] if len(cfg_row) > 5 else False
+        csched = cfg_row[6] if len(cfg_row) > 6 else "uniform"
         run = make_sampler(model, ema, sampler, steps, interval, cfg, tome,
-                           tome_mlp, image_size=image_size, batch=batch)
+                           tome_mlp, csched, image_size=image_size,
+                           batch=batch)
         gen, times = [], []
         for i in range(0, num_eval, batch):
             y = jnp.asarray(labels[i: i + batch])
@@ -287,6 +295,7 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         steady = sorted(times[1:])[len(times[1:]) // 2] if len(times) > 1 else times[0]
         name = (f"{sampler}{steps}"
                 + (f" k={interval}" if interval > 1 else "")
+                + (f" {csched}" if csched != "uniform" else "")
                 + (f" tome={tome}{'+mlp' if tome_mlp else ''}"
                    if tome > 0 else "")
                 + (" no-cfg" if cfg <= 1.0 else ""))
@@ -294,6 +303,7 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
             "config": name, "sampler": sampler, "steps": steps,
             "cache_interval": interval, "cfg_scale": cfg,
             "tome_ratio": tome, "tome_mlp": tome_mlp,
+            "cache_schedule": csched,
             "fid": round(compute_fid(feats_a, feats_g, ident), 4),
             "kid": round(compute_kid(feats_a, feats_g, ident)[0], 6),
             "cls_acc": round(float((preds_g == labels).mean()), 4),

@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--cache-interval", type=int, default=1,
                     help="FORA layer caching (1 = off/exact)")
+    ap.add_argument("--cache-schedule", default="uniform",
+                    choices=["uniform", "logsnr", "abar"],
+                    help="nonuniform cache-refresh placement (same budget)")
     ap.add_argument("--tome-ratio", type=float, default=0.0,
                     help="token merging fraction (0 = off/exact)")
     ap.add_argument("--tome-mlp", action="store_true",
@@ -78,7 +81,8 @@ def main():
             out = diffusion.p_sample_loop_cached(
                 lambda x, t: apply(x, t, want_cache=True),
                 lambda x, t, cache: apply(x, t, cache=cache),
-                z.shape, interval=args.cache_interval, noise=z, rng=rng,
+                z.shape, interval=args.cache_interval,
+                refresh_schedule=args.cache_schedule, noise=z, rng=rng,
                 clip_denoised=False)
         elif args.sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(apply, z.shape, noise=z,
@@ -106,6 +110,7 @@ def main():
                   f"cfg {args.cfg_scale}, "
                   f"{args.dtype}, batch {n}"
                   + (f", cache {args.cache_interval}"
+                       f"{'' if args.cache_schedule == 'uniform' else ' ' + args.cache_schedule}"
                      if args.cache_interval > 1 else "")
                   + (f", int8 {args.quantize}" if args.quantize else "")
                   + (f", tome {args.tome_ratio}"

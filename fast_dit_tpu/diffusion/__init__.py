@@ -152,28 +152,34 @@ class Diffusion:
         )
 
     def p_sample_loop_cached(self, model_full_fn, model_cached_fn, shape, *,
-                             interval, rng=None, noise=None, clip_denoised=True,
+                             interval, refresh_schedule="uniform", rng=None,
+                             noise=None, clip_denoised=True,
                              denoised_fn=None, cond_fn=None, dtype=jnp.float32):
         """DDPM sampling with the FORA-style layer cache: the full model runs
         every `interval`-th step, cached steps reuse per-layer attention/MLP
         outputs (sampling.py `_cached_loop`). model_full_fn(x, t) ->
-        (out, cache); model_cached_fn(x, t, cache) -> out."""
+        (out, cache); model_cached_fn(x, t, cache) -> out.
+        `refresh_schedule` in {"uniform", "logsnr", "abar"} places the same
+        refresh budget nonuniformly (sampling.cache_refresh_mask)."""
         return p_sample_loop_cached(
             model_full_fn, model_cached_fn, shape, self.schedule,
-            interval=interval, rng=rng, noise=noise,
+            interval=interval, refresh_schedule=refresh_schedule,
+            rng=rng, noise=noise,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, dtype=dtype,
         )
 
     def ddim_sample_loop_cached(self, model_full_fn, model_cached_fn, shape, *,
-                                interval, rng=None, noise=None,
+                                interval, refresh_schedule="uniform",
+                                rng=None, noise=None,
                                 clip_denoised=True, denoised_fn=None,
                                 cond_fn=None, eta=0.0, dtype=jnp.float32):
         """DDIM sampling with the FORA-style layer cache (see
         p_sample_loop_cached)."""
         return ddim_sample_loop_cached(
             model_full_fn, model_cached_fn, shape, self.schedule,
-            interval=interval, rng=rng, noise=noise,
+            interval=interval, refresh_schedule=refresh_schedule,
+            rng=rng, noise=noise,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, eta=eta, dtype=dtype,
         )

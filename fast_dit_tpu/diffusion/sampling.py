@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -26,7 +28,7 @@ from .schedule import DiffusionSchedule
 
 __all__ = ["p_sample_loop", "ddim_sample_loop", "ddim_reverse_sample_loop",
            "p_sample_loop_cached", "ddim_sample_loop_cached",
-           "dpm_solver_sample_loop"]
+           "cache_refresh_mask", "dpm_solver_sample_loop"]
 
 
 def _init_noise(shape, noise, rng, dtype):
@@ -177,6 +179,147 @@ def ddim_sample_loop(
     )
 
 
+def cache_refresh_mask(sched: DiffusionSchedule, interval: int,
+                       schedule: str = "uniform") -> np.ndarray:
+    """(T,) bool mask: which reverse-process steps refresh the layer cache.
+
+    Same refresh BUDGET as FORA's fixed interval — ceil(T / interval) full
+    model evaluations — but `schedule` chooses their PLACEMENT:
+
+    - "uniform": every interval-th step (identical to the fixed-k loop).
+    - "logsnr": refreshes at equal log-SNR (lambda) spacing — denser where
+      the respaced schedule moves fastest through noise levels, i.e. where
+      consecutive steps differ most and stale layer outputs hurt most (the
+      same nonuniformity principle as TeaCache, arXiv:2411.19108, with a
+      schedule-derived signal instead of a model-calibrated one).
+    - "abar": equal alpha_bar spacing (densest mid-chain for the linear
+      schedule).
+
+    The mask is pure schedule arithmetic (data-independent), so it is a
+    compile-time constant: the adaptive loop stays one XLA program with no
+    host round-trips. Index 0 (the first, cache-filling step) is always a
+    refresh.
+    """
+    T = sched.num_timesteps
+    budget = (T + interval - 1) // interval
+    mask = np.zeros(T, dtype=bool)
+    if schedule == "uniform":
+        mask[::interval] = True
+        return mask
+    abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)[::-1]  # k-order
+    if schedule == "abar":
+        delta = np.abs(np.diff(abar, prepend=abar[0]))
+    elif schedule == "logsnr":
+        lam = 0.5 * (np.log(abar) - np.log1p(-abar))
+        delta = np.abs(np.diff(lam, prepend=lam[0]))
+    else:
+        raise ValueError(f"unknown cache refresh schedule: {schedule!r}")
+    cum = np.cumsum(delta)
+    total = cum[-1] if cum[-1] > 0 else 1.0
+    # refresh wherever the accumulated signal crosses the next of `budget`
+    # equally spaced thresholds; when several thresholds land in one step's
+    # jump, advance to the next free step so the budget is spent EXACTLY
+    # (otherwise a spiky signal silently buys speed by dropping refreshes
+    # and the uniform-vs-nonuniform comparison stops being equal-compute)
+    thresholds = np.arange(budget) * (total / budget)
+    crossed = np.searchsorted(cum, thresholds, side="left")
+    last = -1
+    for c in crossed:
+        pos = max(int(c), last + 1)
+        if pos >= T:
+            break
+        mask[pos] = True
+        last = pos
+    mask[0] = True
+    # a spiky signal can push trailing thresholds past T (e.g. the log-SNR
+    # blow-up at t -> 0 stacks many thresholds into the last few steps);
+    # spend the leftover budget by splitting the longest unrefreshed runs,
+    # so every schedule uses EXACTLY the same number of full evaluations
+    while mask.sum() < budget:
+        runs = np.split(np.flatnonzero(~mask),
+                        np.where(np.diff(np.flatnonzero(~mask)) > 1)[0] + 1)
+        longest = max(runs, key=len)
+        mask[longest[len(longest) // 2]] = True
+    return mask
+
+
+def _cached_loop_masked(
+    step_kind: str,
+    model_full_fn: Callable,
+    model_cached_fn: Callable,
+    shape,
+    sched: DiffusionSchedule,
+    *,
+    refresh_mask,
+    rng=None,
+    noise=None,
+    clip_denoised=True,
+    denoised_fn=None,
+    cond_fn=None,
+    eta=0.0,
+    dtype=jnp.float32,
+):
+    """Layer-cached sampling with an ARBITRARY static refresh mask.
+
+    One `lax.scan` over all T steps whose body is a `lax.cond` between the
+    full model (refresh) and the cache replay — a scalar-predicate branch,
+    so each step executes only the side it takes. Used for the nonuniform
+    `cache_refresh_mask` schedules; the uniform case keeps the period-tiled
+    `_cached_loop` (equal math, marginally simpler program).
+    """
+    assert step_kind in ("p", "ddim")
+    if noise is not None:
+        shape = noise.shape
+    x = _init_noise(shape, noise, rng, dtype)
+    B = shape[0]
+    T = sched.num_timesteps
+    refresh_mask = np.asarray(refresh_mask, dtype=bool).copy()
+    assert refresh_mask.shape == (T,), (refresh_mask.shape, T)
+    refresh_mask[0] = True  # the first step must fill the cache
+    needs_noise = step_kind == "p" or eta != 0.0
+    if needs_noise and rng is None:
+        raise ValueError("stochastic sampling needs `rng`")
+    step_noise = None
+    if needs_noise:
+        step_noise = jax.vmap(
+            lambda i: jax.random.normal(
+                jax.random.fold_in(rng, i), shape, dtype))(
+                    T - 1 - jnp.arange(T))
+
+    # zero-initialized cache pytree for the scan carry; never read (step 0
+    # refreshes before any replay)
+    _, cache_shapes = jax.eval_shape(
+        model_full_fn,
+        jax.ShapeDtypeStruct(shape, dtype),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    )
+    cache0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+
+    def body(carry, scan_in):
+        x, cache = carry
+        k, i, refresh = scan_in
+        t = jnp.full((B,), i, dtype=jnp.int32)
+        t_model = sched.timestep_map[t]
+        model_output, cache = jax.lax.cond(
+            refresh,
+            lambda args: model_full_fn(args[0], t_model),
+            lambda args: (model_cached_fn(args[0], t_model, args[1]), args[1]),
+            (x, cache),
+        )
+        cond_grad = cond_fn(x, t_model) if cond_fn is not None else None
+        n = step_noise[k] if needs_noise else None
+        res = _apply_step(step_kind, sched, model_output, x, t, n,
+                          clip_denoised=clip_denoised, denoised_fn=denoised_fn,
+                          cond_grad=cond_grad, eta=eta)
+        return (res.sample, cache), None
+
+    ks = jnp.arange(T)
+    idx = T - 1 - ks
+    (x, _), _ = jax.lax.scan(
+        body, (x, cache0), (ks, idx, jnp.asarray(refresh_mask)))
+    return x
+
+
 def _cached_loop(
     step_kind: str,
     model_full_fn: Callable,
@@ -280,6 +423,7 @@ def p_sample_loop_cached(
     sched: DiffusionSchedule,
     *,
     interval: int,
+    refresh_schedule: str = "uniform",
     rng: Optional[jax.Array] = None,
     noise=None,
     clip_denoised: bool = True,
@@ -287,7 +431,17 @@ def p_sample_loop_cached(
     cond_fn=None,
     dtype=jnp.float32,
 ):
-    """DDPM ancestral sampling with the FORA layer cache (see _cached_loop)."""
+    """DDPM ancestral sampling with the FORA layer cache (see _cached_loop).
+
+    `refresh_schedule` != "uniform" keeps the same refresh budget but
+    places the full evaluations nonuniformly (`cache_refresh_mask`)."""
+    if refresh_schedule != "uniform":
+        return _cached_loop_masked(
+            "p", model_full_fn, model_cached_fn, shape, sched,
+            refresh_mask=cache_refresh_mask(sched, interval, refresh_schedule),
+            rng=rng, noise=noise, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn, cond_fn=cond_fn, dtype=dtype,
+        )
     return _cached_loop(
         "p", model_full_fn, model_cached_fn, shape, sched, interval=interval,
         rng=rng, noise=noise, clip_denoised=clip_denoised,
@@ -302,6 +456,7 @@ def ddim_sample_loop_cached(
     sched: DiffusionSchedule,
     *,
     interval: int,
+    refresh_schedule: str = "uniform",
     rng: Optional[jax.Array] = None,
     noise=None,
     clip_denoised: bool = True,
@@ -311,6 +466,13 @@ def ddim_sample_loop_cached(
     dtype=jnp.float32,
 ):
     """DDIM sampling with the FORA layer cache (see _cached_loop)."""
+    if refresh_schedule != "uniform":
+        return _cached_loop_masked(
+            "ddim", model_full_fn, model_cached_fn, shape, sched,
+            refresh_mask=cache_refresh_mask(sched, interval, refresh_schedule),
+            rng=rng, noise=noise, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn, cond_fn=cond_fn, eta=eta, dtype=dtype,
+        )
     return _cached_loop(
         "ddim", model_full_fn, model_cached_fn, shape, sched, interval=interval,
         rng=rng, noise=noise, clip_denoised=clip_denoised,

@@ -112,7 +112,8 @@ def main(args):
             samples = loop(
                 lambda x, t: apply(x, t, want_cache=True),
                 lambda x, t, cache: apply(x, t, cache=cache),
-                z.shape, interval=args.cache_interval, noise=z,
+                z.shape, interval=args.cache_interval,
+                refresh_schedule=args.cache_schedule, noise=z,
                 rng=jax.random.fold_in(rng, 1), clip_denoised=False)
         elif args.sampler == "dpm":
             # DPM-Solver++(2M): deterministic 2nd-order multistep — pair
@@ -169,6 +170,12 @@ def parse_args():
                              "k-th step, reuse per-layer attention/MLP "
                              "outputs in between (1 = off/exact; 2-3 trades "
                              "a little fidelity for ~1.5-2.5x speed)")
+    parser.add_argument("--cache-schedule", type=str, default="uniform",
+                        choices=["uniform", "logsnr", "abar"],
+                        help="placement of the cache refreshes: same budget "
+                             "as --cache-interval, nonuniform spacing by "
+                             "log-SNR or alpha-bar (diffusion/sampling.py "
+                             "cache_refresh_mask)")
     parser.add_argument("--tome-ratio", type=float, default=0.0,
                         help="token merging (ops/tome.py): fraction of "
                              "tokens merged inside every block's "

@@ -157,7 +157,8 @@ def main(args):
             samples = loop(
                 lambda x, t: apply(x, t, want_cache=True),
                 lambda x, t, cache: apply(x, t, cache=cache),
-                z.shape, interval=args.cache_interval, noise=z,
+                z.shape, interval=args.cache_interval,
+                refresh_schedule=args.cache_schedule, noise=z,
                 rng=jax.random.fold_in(rng, 2), clip_denoised=False)
         elif sampler_kind == "dpm":
             samples = diffusion.dpm_solver_sample_loop(
@@ -232,6 +233,12 @@ if __name__ == "__main__":
     parser.add_argument("--cache-interval", type=int, default=1,
                         help="FORA layer caching: full model every k-th "
                              "step (1 = off/exact; approximate for k > 1)")
+    parser.add_argument("--cache-schedule", type=str, default="uniform",
+                        choices=["uniform", "logsnr", "abar"],
+                        help="placement of the cache refreshes: same budget "
+                             "as --cache-interval, nonuniform spacing by "
+                             "log-SNR or alpha-bar (diffusion/sampling.py "
+                             "cache_refresh_mask)")
     parser.add_argument("--tome-ratio", type=float, default=0.0,
                         help="token merging (ops/tome.py): fraction of "
                              "tokens merged inside every block's "

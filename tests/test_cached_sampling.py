@@ -124,3 +124,128 @@ def test_cached_cfg_loop_runs(small_model):
         clip_denoised=False)
     assert out.shape == z.shape
     assert bool(jnp.isfinite(out).all())
+
+
+# ---------------------------------------------------------------------------
+# nonuniform refresh placement (sampling.cache_refresh_mask + masked loop)
+# ---------------------------------------------------------------------------
+
+def test_refresh_mask_budget_and_first_step():
+    from fast_dit_tpu.diffusion.sampling import cache_refresh_mask
+
+    sched = create_diffusion("50").schedule
+    for schedule in ("uniform", "logsnr", "abar"):
+        for interval in (2, 3, 4):
+            mask = cache_refresh_mask(sched, interval, schedule)
+            budget = -(-50 // interval)
+            assert mask.shape == (50,)
+            assert mask[0], (schedule, interval)
+            # every schedule spends EXACTLY the same budget of full evals
+            assert mask.sum() == budget, (schedule, interval, mask.sum())
+    # nonuniform schedules must actually differ from uniform at k=4
+    u = cache_refresh_mask(sched, 4, "uniform")
+    l = cache_refresh_mask(sched, 4, "logsnr")
+    assert (u != l).any()
+
+
+@pytest.mark.parametrize("sampler", ["ddpm", "ddim"])
+def test_masked_loop_with_uniform_mask_matches_interval_loop(small_model,
+                                                             sampler):
+    """The lax.cond masked loop under a uniform mask must equal the
+    period-tiled interval loop — pinning the branch machinery against the
+    already-pinned implementation."""
+    from fast_dit_tpu.diffusion.sampling import (_cached_loop_masked,
+                                                 cache_refresh_mask)
+
+    model, params = small_model
+    diffusion = create_diffusion("12")
+    sched = diffusion.schedule
+    y = jnp.array([1, 2])
+    z = jax.random.normal(jax.random.PRNGKey(8), (2, 4, 8, 8))
+    rng = jax.random.PRNGKey(9)
+    full_fn, cached_fn = fns(model, params, y)
+    cached_loop = (diffusion.p_sample_loop_cached if sampler == "ddpm"
+                   else diffusion.ddim_sample_loop_cached)
+    ref = cached_loop(full_fn, cached_fn, z.shape, interval=3, noise=z,
+                      rng=rng, clip_denoised=False)
+    kind = "p" if sampler == "ddpm" else "ddim"
+    got = _cached_loop_masked(
+        kind, full_fn, cached_fn, z.shape, sched,
+        refresh_mask=cache_refresh_mask(sched, 3, "uniform"),
+        noise=z, rng=rng, clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_masked_loop_all_true_is_plain_loop(small_model):
+    import numpy as onp
+
+    from fast_dit_tpu.diffusion.sampling import _cached_loop_masked
+
+    model, params = small_model
+    diffusion = create_diffusion("8")
+    y = jnp.array([1, 2])
+    z = jax.random.normal(jax.random.PRNGKey(10), (2, 4, 8, 8))
+    rng = jax.random.PRNGKey(11)
+    full_fn, cached_fn = fns(model, params, y)
+    ref = diffusion.p_sample_loop(lambda x, t: model.apply(params, x, t, y),
+                                  z.shape, noise=z, rng=rng,
+                                  clip_denoised=False)
+    got = _cached_loop_masked(
+        "p", full_fn, cached_fn, z.shape, diffusion.schedule,
+        refresh_mask=onp.ones(8, bool), noise=z, rng=rng,
+        clip_denoised=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_masked_loop_matches_python_reference(small_model):
+    """Arbitrary mask == hand-rolled python loop taking the same branches."""
+    import numpy as onp
+
+    from fast_dit_tpu.diffusion import gaussian
+    from fast_dit_tpu.diffusion.sampling import _cached_loop_masked
+
+    model, params = small_model
+    diffusion = create_diffusion("10")
+    sched = diffusion.schedule
+    y = jnp.array([1, 2])
+    z = jax.random.normal(jax.random.PRNGKey(12), (2, 4, 8, 8))
+    rng = jax.random.PRNGKey(13)
+    full_fn, cached_fn = fns(model, params, y)
+    mask = onp.array([1, 0, 0, 1, 0, 1, 1, 0, 0, 0], bool)
+
+    got = _cached_loop_masked("p", full_fn, cached_fn, z.shape, sched,
+                              refresh_mask=mask, noise=z, rng=rng,
+                              clip_denoised=False)
+    T = sched.num_timesteps
+    x, cache = jnp.asarray(z), None
+    for k_step in range(T):
+        i = T - 1 - k_step
+        t = jnp.full((2,), i, jnp.int32)
+        t_model = sched.timestep_map[t]
+        if mask[k_step]:
+            out, cache = full_fn(x, t_model)
+        else:
+            out = cached_fn(x, t_model, cache)
+        n = jax.random.normal(jax.random.fold_in(rng, i), z.shape, jnp.float32)
+        x = gaussian.p_sample_step(sched, out, x, t, n,
+                                   clip_denoised=False).sample
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_masked_loop_cfg_with_logsnr_schedule(small_model):
+    model, params = small_model
+    diffusion = create_diffusion("12")
+    y = jnp.array([1, 2, 10, 10])
+    z = jax.random.normal(jax.random.PRNGKey(14), (4, 4, 8, 8))
+    apply = lambda x, t, **kw: model.apply(
+        params, x, t, y, method=model.forward_with_cfg, cfg_scale=1.5, **kw)
+    out = diffusion.p_sample_loop_cached(
+        lambda x, t: apply(x, t, want_cache=True),
+        lambda x, t, cache: apply(x, t, cache=cache),
+        z.shape, interval=3, refresh_schedule="logsnr", noise=z,
+        rng=jax.random.PRNGKey(15), clip_denoised=False)
+    assert out.shape == z.shape
+    assert bool(jnp.isfinite(out).all())
