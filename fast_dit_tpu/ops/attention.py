@@ -17,6 +17,9 @@ softmax(QK^T)V in torch. Here attention is a pluggable op:
             — wins at long sequences (>= 512 tokens).
 - "einsum": reference-shaped naive attention, used in tests as the numerical
             ground truth.
+- "ring:<axis>": exact sequence-parallel ring attention over a sharded
+            token axis (`ops/ring_attention.py`) — for use inside shard_map
+            with mesh axis `<axis>` bound (parallel/sequence.py).
 
 All take (B, S, H, D) q/k/v and return (B, S, H, D).
 """
@@ -80,6 +83,10 @@ def resolve_backend(backend: str, seq_len: int = 256, batch: int | None = None,
     crashed the remote compile service. Explicit "pallas"/"hybrid" still
     honor the request at any dtype.
     """
+    if backend.startswith("ring"):
+        # sequence-parallel ring attention ("ring:<mesh-axis>"); only valid
+        # inside shard_map with that axis bound — never chosen by 'auto'
+        return backend
     if backend == "auto":
         if not _has_pallas_support():
             return "xla"
@@ -106,4 +113,9 @@ def dot_product_attention(q, k, v, *, backend: str = "auto", scale=None):
         return jax.nn.dot_product_attention(q, k, v, scale=scale)
     if backend == "einsum":
         return naive_attention(q, k, v, scale=scale)
+    if backend.startswith("ring:"):
+        from .ring_attention import ring_attention
+
+        return ring_attention(q, k, v, axis=backend.split(":", 1)[1],
+                              scale=scale)
     raise ValueError(f"unknown attention backend: {backend}")

@@ -11,11 +11,16 @@ from .mesh import (
 from .pipefusion import (init_kv_cache, pipefusion_forward,
                          pipefusion_sample_loop)
 from .pipeline import create_pipeline_mesh, dit_pipeline_forward, pipeline_apply
+from .sequence import (create_seq_mesh, dit_sequence_parallel_forward,
+                       sequence_parallel_stack)
 
 __all__ = [
     "batch_sharding",
     "create_mesh",
     "create_pipeline_mesh",
+    "create_seq_mesh",
+    "dit_sequence_parallel_forward",
+    "sequence_parallel_stack",
     "dit_param_spec",
     "dit_pipeline_forward",
     "init_kv_cache",

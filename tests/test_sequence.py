@@ -1,0 +1,146 @@
+"""Sequence (context) parallelism: exactness + gradient proofs on the CPU
+mesh. The reference has no sequence-parallel story at all (SURVEY.md §2.3);
+ring attention must therefore be pinned against the dense math, not against
+reference behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from fast_dit_tpu.models import DiT
+from fast_dit_tpu.ops.attention import naive_attention
+from fast_dit_tpu.ops.ring_attention import ring_attention
+from fast_dit_tpu.parallel.sequence import (create_seq_mesh,
+                                            dit_sequence_parallel_forward,
+                                            sequence_parallel_stack)
+
+
+def qkv(B=2, S=32, H=4, hd=8, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (B, S, H, hd)
+    return tuple(jax.random.normal(k, shape, jnp.float32) for k in ks)
+
+
+def ring_on_mesh(q, k, v, n, scale=None):
+    mesh = create_seq_mesh(n)
+    fn = lambda a, b, c: ring_attention(a, b, c, axis="seq", scale=scale)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(P(None, "seq"),) * 3,
+                     out_specs=P(None, "seq"), check_vma=False)(q, k, v)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_ring_attention_exact(n):
+    """Ring attention over n shards == dense attention, to fp32 tolerance."""
+    q, k, v = qkv()
+    want = naive_attention(q, k, v)
+    got = ring_on_mesh(q, k, v, n)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_custom_scale():
+    q, k, v = qkv(seed=3)
+    want = naive_attention(q, k, v, scale=0.31)
+    got = ring_on_mesh(q, k, v, 4, scale=0.31)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_attention_gradients_match_dense():
+    """d(loss)/d(q,k,v) through the sharded ring == through dense attention —
+    the property that makes sequence-PARALLEL TRAINING valid."""
+    q, k, v = qkv(seed=1)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_dense(q, k, v):
+        return jnp.sum((naive_attention(q, k, v) - tgt) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum((ring_on_mesh(q, k, v, 4) - tgt) ** 2)
+
+    g_want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_ring_backend_string_outside_shardmap_fails():
+    """'ring:<axis>' requires the mesh axis to be bound — a clear error, not
+    silent garbage."""
+    q, k, v = qkv()
+    from fast_dit_tpu.ops.attention import dot_product_attention
+    with pytest.raises(Exception):
+        dot_product_attention(q, k, v, backend="ring:seq")
+
+
+def tiny_dit(depth=4, **kw):
+    return DiT(input_size=8, patch_size=2, in_channels=4, hidden_size=32,
+               depth=depth, num_heads=4, num_classes=10,
+               attn_backend="einsum", **kw)
+
+
+def init_params(model, B=4):
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 4, 8, 8))
+    t = jnp.arange(B) % 10
+    y = jnp.arange(B) % 10
+    params = model.init({"params": jax.random.PRNGKey(1)}, x, t, y)
+    params = jax.tree.map(
+        lambda p: jax.random.normal(jax.random.PRNGKey(2), p.shape) * 0.05,
+        params)
+    return params, x, t, y
+
+
+@pytest.mark.parametrize("seq,data", [(2, 1), (4, 1), (8, 1), (4, 2)])
+def test_dit_sequence_parallel_forward_equivalence(seq, data):
+    """Token-sharded DiT forward == the plain nn.scan forward, for several
+    seq-axis sizes and composed with data parallelism."""
+    model = tiny_dit()
+    params, x, t, y = init_params(model, B=4)
+    want = model.apply(params, x, t, y)
+
+    mesh = create_seq_mesh(seq, data=data)
+    got = dit_sequence_parallel_forward(model, params, x, t, y, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-5, atol=5e-5)
+
+
+def test_sequence_parallel_stack_gradients():
+    """Gradients through the token-sharded block stack == unsharded — proves
+    the whole sp training path (scan over blocks + ring attention)."""
+    from fast_dit_tpu.models.layers import DiTBlock
+
+    model = tiny_dit()
+    params, x, t, y = init_params(model, B=2)
+    stacked = params["params"]["blocks"]["block"]
+    tokens = jax.random.normal(jax.random.PRNGKey(5), (2, 16, 32))
+    c = jax.random.normal(jax.random.PRNGKey(6), (2, 32))
+
+    block_ring = DiTBlock(32, 4, attn_backend="ring:seq")
+    block_ref = DiTBlock(32, 4, attn_backend="einsum")
+    mesh = create_seq_mesh(4)
+
+    def loss_sp(sp):
+        out = sequence_parallel_stack(
+            lambda lp, xs, cs: block_ring.apply({"params": lp}, xs, cs),
+            sp, tokens, c, mesh=mesh)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(sp):
+        def body(carry, lp):
+            return block_ref.apply({"params": lp}, carry, c), None
+        out, _ = jax.lax.scan(body, tokens, sp)
+        return jnp.sum(out ** 2)
+
+    g_got = jax.grad(loss_sp)(stacked)
+    g_want = jax.grad(loss_ref)(stacked)
+    flat_got = jax.tree.leaves(g_got)
+    flat_want = jax.tree.leaves(g_want)
+    assert len(flat_got) == len(flat_want)
+    for a, b in zip(flat_got, flat_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
