@@ -176,12 +176,18 @@ def default_configs():
                # nonuniform cache-refresh placement: same budget as k=3/4
                ("ddpm", 250, 3, 1.5, 0.0, False, "logsnr"),
                ("ddpm", 250, 4, 1.5, 0.0, False, "logsnr"),
-               ("ddpm", 250, 4, 1.5, 0.0, False, "abar")])
+               ("ddpm", 250, 4, 1.5, 0.0, False, "abar"),
+               # guidance interval (arXiv:2404.07724): CFG only inside the
+               # sigma band — honest compute cut (~0.65x model flops) that
+               # the paper shows IMPROVES distribution quality
+               ("ddpm", 250, 1, 1.5, 0.0, False, "uniform", (0.19, 1.61)),
+               ("ddpm", 250, 1, 1.5, 0.0, False, "uniform", (0.3, 3.0)),
+               ("dpm", 25, 1, 1.5, 0.0, False, "uniform", (0.3, 3.0))])
 
 
 def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
-                 tome_ratio=0.0, tome_mlp=False, cache_schedule="uniform", *,
-                 image_size, batch):
+                 tome_ratio=0.0, tome_mlp=False, cache_schedule="uniform",
+                 cfg_interval=None, *, image_size, batch):
     """jitted (labels, rng) -> (batch, 3, H, W) samples in [-1, 1]."""
     jax, jnp = _lazy_imports()
     from fast_dit_tpu.diffusion import create_diffusion
@@ -202,6 +208,13 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
                 cfg_scale=cfg_scale, guidance_channels=3, **kw)
+            if cfg_interval is not None:
+                from fast_dit_tpu.diffusion import guidance_interval_fn
+
+                assert interval == 1, "cfg_interval != layer cache"
+                apply = guidance_interval_fn(
+                    apply, lambda x, t: model.apply(params, x, t, y),
+                    diffusion.schedule, *cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if sampler == "dpm":
@@ -277,8 +290,9 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         tome = cfg_row[4] if len(cfg_row) > 4 else 0.0
         tome_mlp = cfg_row[5] if len(cfg_row) > 5 else False
         csched = cfg_row[6] if len(cfg_row) > 6 else "uniform"
+        band = cfg_row[7] if len(cfg_row) > 7 else None
         run = make_sampler(model, ema, sampler, steps, interval, cfg, tome,
-                           tome_mlp, csched, image_size=image_size,
+                           tome_mlp, csched, band, image_size=image_size,
                            batch=batch)
         gen, times = [], []
         for i in range(0, num_eval, batch):
@@ -298,12 +312,14 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
                 + (f" {csched}" if csched != "uniform" else "")
                 + (f" tome={tome}{'+mlp' if tome_mlp else ''}"
                    if tome > 0 else "")
+                + (f" band={band[0]}-{band[1]}" if band is not None else "")
                 + (" no-cfg" if cfg <= 1.0 else ""))
         row = {
             "config": name, "sampler": sampler, "steps": steps,
             "cache_interval": interval, "cfg_scale": cfg,
             "tome_ratio": tome, "tome_mlp": tome_mlp,
             "cache_schedule": csched,
+            "cfg_interval": list(band) if band is not None else None,
             "fid": round(compute_fid(feats_a, feats_g, ident), 4),
             "kid": round(compute_kid(feats_a, feats_g, ident)[0], 6),
             "cls_acc": round(float((preds_g == labels).mean()), 4),

@@ -30,6 +30,11 @@ def main():
     ap.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     ap.add_argument("--attn-backend", default="auto")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                    metavar=("SIGMA_LO", "SIGMA_HI"),
+                    help="guidance interval (arXiv:2404.07724): CFG only "
+                         "inside the sigma band, conditional-only (half "
+                         "compute) elsewhere")
     ap.add_argument("--cache-interval", type=int, default=1,
                     help="FORA layer caching (1 = off/exact)")
     ap.add_argument("--cache-schedule", default="uniform",
@@ -74,9 +79,17 @@ def main():
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
+            if args.cfg_interval is not None:
+                from fast_dit_tpu.diffusion import guidance_interval_fn
+
+                apply = guidance_interval_fn(
+                    apply, lambda x, t: model.apply(params, x, t, y[:n]),
+                    diffusion.schedule, *args.cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
+            assert args.cfg_interval is None, (
+                "--cfg-interval does not compose with --cache-interval")
             assert args.sampler == "ddpm"
             out = diffusion.p_sample_loop_cached(
                 lambda x, t: apply(x, t, want_cache=True),
@@ -108,7 +121,10 @@ def main():
                   f"{args.image_size}x{args.image_size}, "
                   f"{args.num_sampling_steps} {args.sampler.upper()} steps, "
                   f"cfg {args.cfg_scale}, "
-                  f"{args.dtype}, batch {n}"
+                  + (f"cfg-interval {args.cfg_interval[0]}-"
+                     f"{args.cfg_interval[1]}, "
+                     if args.cfg_interval is not None else "")
+                  + f"{args.dtype}, batch {n}"
                   + (f", cache {args.cache_interval}"
                        f"{'' if args.cache_schedule == 'uniform' else ' ' + args.cache_schedule}"
                      if args.cache_interval > 1 else "")

@@ -33,6 +33,7 @@ from .gaussian import (
     training_losses,
     vb_terms_bpd,
 )
+from .guidance_interval import guidance_interval_fn, guidance_interval_mask
 from .respace import space_timesteps
 from .sampling import (ddim_reverse_sample_loop, ddim_sample_loop,
                        ddim_sample_loop_cached, dpm_solver_sample_loop,
@@ -65,6 +66,8 @@ __all__ = [
     "get_named_beta_schedule",
     "get_beta_schedule",
     "betas_for_alpha_bar",
+    "guidance_interval_fn",
+    "guidance_interval_mask",
     "gaussian",
     "sampling",
     "create_named_schedule_sampler",

@@ -1,0 +1,85 @@
+"""Guidance interval: apply CFG only where it helps, halve compute elsewhere.
+
+The reference runs the doubled-batch CFG forward at EVERY step
+(`/root/reference/sample.py:55-60`, `models_original.py:250-266`) — 2x model
+compute for the whole chain. Kynkaanniemi et al. (arXiv:2404.07724) showed
+guidance only improves samples in a middle band of noise levels: at high
+sigma it distorts the large-scale layout, at low sigma it's spent on
+imperceptible detail. Restricting CFG to a sigma interval both IMPROVES
+FID and cuts compute — outside the interval only the conditional half runs.
+
+TPU formulation: whether a step guides is pure schedule arithmetic, so the
+per-original-timestep decision is a compile-time boolean table; the sampler
+body stays one `lax.scan` whose step is a scalar-predicate `lax.cond`
+between the doubled-batch CFG forward and a half-batch conditional forward
+(both shapes static — XLA executes only the taken side per step).
+
+Composes with ddpm/ddim/dpm sampling; not with the FORA layer cache (the
+cache pytree's batch dimension would have to change across the boundary).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schedule import DiffusionSchedule
+
+__all__ = ["guidance_interval_mask", "guidance_interval_fn"]
+
+
+def guidance_interval_mask(sched: DiffusionSchedule, sigma_low: float,
+                           sigma_high: float) -> np.ndarray:
+    """Boolean table over ORIGINAL-process timesteps: True where the EDM
+    noise level sigma(t) = sqrt((1-abar)/abar) lies in [sigma_low,
+    sigma_high].
+
+    Indexed by the `t_model` values the sampling loops pass to the model
+    (`sched.timestep_map[t]`), so it works with any respacing: the respaced
+    abar at step k equals the original abar at timestep_map[k] by the
+    respacing contract (respace.py).
+    """
+    tm = np.asarray(sched.timestep_map, dtype=np.int64)
+    abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    sigma = np.sqrt((1.0 - abar) / abar)
+    in_band = (sigma >= sigma_low) & (sigma <= sigma_high)
+    table = np.zeros(int(tm.max()) + 1, dtype=bool)
+    table[tm] = in_band
+    return table
+
+
+def guidance_interval_fn(cfg_fn: Callable, cond_fn: Callable,
+                         sched: DiffusionSchedule, sigma_low: float,
+                         sigma_high: float) -> Callable:
+    """Wrap a doubled-batch CFG model into an interval-guided one.
+
+    cfg_fn(x, t):  the usual `forward_with_cfg` doubled-batch forward —
+        x is (2B, ...) = [cond ; mirrored], output (2B, ...).
+    cond_fn(x, t): the plain conditional forward on a HALF batch (B, ...)
+        with the conditional labels.
+
+    Returns model_fn(x, t) with the cfg_fn contract: inside the sigma band
+    it calls cfg_fn; outside it evaluates only the conditional half (half
+    the FLOPs) and mirrors the output — valid because forward_with_cfg
+    itself only ever reads x[:B] and emits mirrored eps, so the second half
+    of the state is write-only throughout the chain.
+    """
+    table = jnp.asarray(guidance_interval_mask(sched, sigma_low, sigma_high))
+
+    def model_fn(x, t):
+        B = x.shape[0] // 2
+
+        def guided(x):
+            return cfg_fn(x, t)
+
+        def unguided(x):
+            out = cond_fn(x[:B], t[:B])
+            return jnp.concatenate([out, out], axis=0)
+
+        # all entries of t are equal (the loops broadcast one scalar step)
+        return jax.lax.cond(table[t[0]], guided, unguided, x)
+
+    return model_fn

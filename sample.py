@@ -99,11 +99,24 @@ def main(args):
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
+            if args.cfg_interval is not None:
+                # guidance interval (arXiv:2404.07724): CFG only where the
+                # noise level sigma(t) is in [lo, hi]; elsewhere only the
+                # conditional half runs (half the model FLOPs per step)
+                from fast_dit_tpu.diffusion import guidance_interval_fn
+
+                lo, hi = args.cfg_interval
+                apply = guidance_interval_fn(
+                    apply, lambda x, t: model.apply(params, x, t, y[:n]),
+                    diffusion.schedule, lo, hi)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
             # FORA-style layer cache: full model every k-th step, cached
             # adaLN-gate-only steps in between (diffusion/sampling.py)
+            assert args.cfg_interval is None, (
+                "--cfg-interval does not compose with --cache-interval (the "
+                "cache pytree's batch dim would change across the boundary)")
             assert args.sampler != "dpm", (
                 "--cache-interval composes with ddpm/ddim; dpm is already "
                 "the honest-compute fast path (use fewer steps instead)")
@@ -165,6 +178,14 @@ def parse_args():
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations for faster sampling")
+    parser.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                        metavar=("SIGMA_LO", "SIGMA_HI"),
+                        help="apply CFG only where the EDM noise level "
+                             "sigma(t)=sqrt((1-abar)/abar) is inside "
+                             "[LO, HI] (guidance interval, arXiv:2404.07724)"
+                             " — improves FID AND halves model compute on "
+                             "the out-of-band steps; the paper's ImageNet "
+                             "band is 0.19 1.61 (~30%% of steps guided)")
     parser.add_argument("--cache-interval", type=int, default=1,
                         help="FORA layer caching: run the full model every "
                              "k-th step, reuse per-layer attention/MLP "

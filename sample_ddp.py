@@ -146,9 +146,19 @@ def main(args):
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
+            if args.cfg_interval is not None:
+                # guidance interval (arXiv:2404.07724): CFG only inside the
+                # sigma band, conditional-only (half compute) elsewhere
+                from fast_dit_tpu.diffusion import guidance_interval_fn
+
+                apply = guidance_interval_fn(
+                    apply, lambda x, t: model.apply(params, x, t, y),
+                    diffusion.schedule, *args.cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
+            assert args.cfg_interval is None, (
+                "--cfg-interval does not compose with --cache-interval")
             assert sampler_kind != "dpm", (
                 "--cache-interval composes with ddpm/ddim; dpm is already "
                 "the honest-compute fast path (use fewer steps instead)")
@@ -230,6 +240,10 @@ if __name__ == "__main__":
     parser.add_argument("--io-threads", type=int, default=16)
     parser.add_argument("--bf16", action="store_true",
                         help="bf16 activations for faster sampling")
+    parser.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                        metavar=("SIGMA_LO", "SIGMA_HI"),
+                        help="apply CFG only where sigma(t) is inside "
+                             "[LO, HI] (guidance interval, arXiv:2404.07724)")
     parser.add_argument("--cache-interval", type=int, default=1,
                         help="FORA layer caching: full model every k-th "
                              "step (1 = off/exact; approximate for k > 1)")
