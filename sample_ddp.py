@@ -213,7 +213,11 @@ def main(args):
         print("Done.")
 
 
-if __name__ == "__main__":
+def build_parser():
+    """The real CLI parser. Programmatic callers (tools/validate_pretrained.py)
+    MUST build their Namespace via `build_parser().parse_args([...])` so new
+    flags pick up their defaults automatically instead of drifting out of a
+    hand-built Namespace (the round-3 failure mode)."""
     parser = argparse.ArgumentParser()
     # reference-compatible flags (sample_ddp.py:149-166)
     parser.add_argument("--model", type=str, choices=list(DiT_models.keys()),
@@ -271,4 +275,8 @@ if __name__ == "__main__":
                         choices=["ddpm", "ddim", "dpm"],
                         help="dpm = DPM-Solver++(2M), deterministic "
                              "2nd-order; pair with small step counts")
-    main(parser.parse_args())
+    return parser
+
+
+if __name__ == "__main__":
+    main(build_parser().parse_args())
