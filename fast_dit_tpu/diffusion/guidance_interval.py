@@ -43,7 +43,13 @@ def guidance_interval_mask(sched: DiffusionSchedule, sigma_low: float,
     respacing contract (respace.py).
     """
     tm = np.asarray(sched.timestep_map, dtype=np.int64)
-    abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    # prefer the full-precision host tables: sigma from the fp32-rounded
+    # device table can flip a step whose true fp64 sigma sits exactly on a
+    # band edge, making the guided-step count precision-dependent
+    if getattr(sched, "alphas_cumprod_fp64", None) is not None:
+        abar = np.asarray(sched.alphas_cumprod_fp64, dtype=np.float64)
+    else:
+        abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
     sigma = np.sqrt((1.0 - abar) / abar)
     in_band = (sigma >= sigma_low) & (sigma <= sigma_high)
     table = np.zeros(int(tm.max()) + 1, dtype=bool)
@@ -66,6 +72,12 @@ def guidance_interval_fn(cfg_fn: Callable, cond_fn: Callable,
     the FLOPs) and mirrors the output — valid because forward_with_cfg
     itself only ever reads x[:B] and emits mirrored eps, so the second half
     of the state is write-only throughout the chain.
+
+    REQUIREMENT: every entry of `t` must be equal (one scalar step
+    broadcast over the batch — true for all in-repo sampling loops). The
+    guide/skip decision is taken from t[0] and applied to the whole batch;
+    a caller with genuinely per-sample timesteps would silently get sample
+    0's decision for everyone.
     """
     table = jnp.asarray(guidance_interval_mask(sched, sigma_low, sigma_high))
 

@@ -201,6 +201,10 @@ class DiffusionSchedule:
     mean_type: MeanType = struct.field(pytree_node=False)
     var_type: VarType = struct.field(pytree_node=False)
     loss_type: LossType = struct.field(pytree_node=False)
+    # full-precision alphas_cumprod kept as static host data so consumers
+    # that do precision-sensitive table arithmetic (e.g. the guidance-interval
+    # sigma band) don't re-derive it from the fp32-rounded device tables
+    alphas_cumprod_fp64: tuple = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(
@@ -245,6 +249,7 @@ class DiffusionSchedule:
             mean_type=MeanType(mean_type),
             var_type=VarType(var_type),
             loss_type=LossType(loss_type),
+            alphas_cumprod_fp64=tuple(float(a) for a in tables["alphas_cumprod"]),
         )
 
     @classmethod

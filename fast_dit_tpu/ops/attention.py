@@ -86,6 +86,10 @@ def resolve_backend(backend: str, seq_len: int = 256, batch: int | None = None,
     if backend.startswith("ring"):
         # sequence-parallel ring attention ("ring:<mesh-axis>"); only valid
         # inside shard_map with that axis bound — never chosen by 'auto'
+        if not (backend.startswith("ring:") and backend.split(":", 1)[1]):
+            raise ValueError(
+                f"ring attention backend must be 'ring:<mesh-axis>' with a "
+                f"non-empty axis name, got {backend!r}")
         return backend
     if backend == "auto":
         if not _has_pallas_support():

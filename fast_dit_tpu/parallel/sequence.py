@@ -77,13 +77,19 @@ def dit_sequence_parallel_forward(model, variables, x, t, y, *, mesh: Mesh,
     """Full DiT forward with tokens sharded over `seq_axis`.
 
     Same contract as `model.apply(variables, x, t, y)` (inference path, no
-    label dropout). Embedders and the final layer are per-token / per-batch
-    and run under plain GSPMD; the `depth` blocks run token-sharded with
-    ring attention.
+    label dropout) for EXACT models only: the blocks are rebuilt with the
+    ring backend, and approximations that change per-block token counts or
+    projection dtypes (ToMe, int8 quant) do not compose with a sharded
+    token axis — rejected here rather than silently dropped.
     """
     from ..models.layers import (DiTBlock, FinalLayer, LabelEmbedder,
                                  PatchEmbed, TimestepEmbedder)
     from ..models.pos_embed import get_2d_sincos_pos_embed
+
+    assert not model.quant and model.tome_ratio == 0, (
+        "sequence parallelism is exact-only: quant/tome settings "
+        f"(quant={model.quant!r}, tome_ratio={model.tome_ratio}) are not "
+        "supported by the token-sharded block stack")
 
     p = variables["params"]
     tokens = PatchEmbed(model.patch_size, model.hidden_size,
