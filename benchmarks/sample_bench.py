@@ -76,26 +76,38 @@ def main():
         z = jax.random.normal(rng, (n, 4, latent, latent))
         if use_cfg:
             z = jnp.concatenate([z, z], 0)
-            apply = lambda x, t, **kw: model.apply(
+            cfg_apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
-            if args.cfg_interval is not None:
+            cond_apply = lambda x, t, **kw: model.apply(params, x, t, y[:n],
+                                                        **kw)
+            apply = cfg_apply
+            if args.cfg_interval is not None and args.cache_interval <= 1:
                 from fast_dit_tpu.diffusion import guidance_interval_fn
 
                 apply = guidance_interval_fn(
-                    apply, lambda x, t: model.apply(params, x, t, y[:n]),
-                    diffusion.schedule, *args.cfg_interval)
+                    cfg_apply, cond_apply, diffusion.schedule,
+                    *args.cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
-            assert args.cfg_interval is None, (
-                "--cfg-interval does not compose with --cache-interval")
             assert args.sampler == "ddpm"
+            forced = None
+            if args.cfg_interval is not None:
+                assert use_cfg
+                from fast_dit_tpu.diffusion import guidance_interval_cached_fns
+
+                full_fn, cached_fn, forced = guidance_interval_cached_fns(
+                    cfg_apply, cond_apply, diffusion.schedule,
+                    *args.cfg_interval)
+            else:
+                full_fn = lambda x, t: apply(x, t, want_cache=True)
+                cached_fn = lambda x, t, cache: apply(x, t, cache=cache)
             out = diffusion.p_sample_loop_cached(
-                lambda x, t: apply(x, t, want_cache=True),
-                lambda x, t, cache: apply(x, t, cache=cache),
+                full_fn, cached_fn,
                 z.shape, interval=args.cache_interval,
-                refresh_schedule=args.cache_schedule, noise=z, rng=rng,
+                refresh_schedule=args.cache_schedule,
+                force_refresh_mask=forced, noise=z, rng=rng,
                 clip_denoised=False)
         elif args.sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(apply, z.shape, noise=z,

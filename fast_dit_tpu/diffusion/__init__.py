@@ -33,7 +33,9 @@ from .gaussian import (
     training_losses,
     vb_terms_bpd,
 )
-from .guidance_interval import guidance_interval_fn, guidance_interval_mask
+from .guidance_interval import (guidance_interval_cached_fns,
+                                guidance_interval_fn, guidance_interval_mask,
+                                guided_steps_korder)
 from .respace import space_timesteps
 from .sampling import (ddim_reverse_sample_loop, ddim_sample_loop,
                        ddim_sample_loop_cached, dpm_solver_sample_loop,
@@ -68,6 +70,8 @@ __all__ = [
     "betas_for_alpha_bar",
     "guidance_interval_fn",
     "guidance_interval_mask",
+    "guidance_interval_cached_fns",
+    "guided_steps_korder",
     "gaussian",
     "sampling",
     "create_named_schedule_sampler",
@@ -155,7 +159,8 @@ class Diffusion:
         )
 
     def p_sample_loop_cached(self, model_full_fn, model_cached_fn, shape, *,
-                             interval, refresh_schedule="uniform", rng=None,
+                             interval, refresh_schedule="uniform",
+                             force_refresh_mask=None, rng=None,
                              noise=None, clip_denoised=True,
                              denoised_fn=None, cond_fn=None, dtype=jnp.float32):
         """DDPM sampling with the FORA-style layer cache: the full model runs
@@ -163,18 +168,20 @@ class Diffusion:
         outputs (sampling.py `_cached_loop`). model_full_fn(x, t) ->
         (out, cache); model_cached_fn(x, t, cache) -> out.
         `refresh_schedule` in {"uniform", "logsnr", "abar"} places the same
-        refresh budget nonuniformly (sampling.cache_refresh_mask)."""
+        refresh budget nonuniformly (sampling.cache_refresh_mask);
+        `force_refresh_mask` ORs in mandatory refreshes (the
+        guidance-interval composition's band-entry pin)."""
         return p_sample_loop_cached(
             model_full_fn, model_cached_fn, shape, self.schedule,
             interval=interval, refresh_schedule=refresh_schedule,
-            rng=rng, noise=noise,
+            force_refresh_mask=force_refresh_mask, rng=rng, noise=noise,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, dtype=dtype,
         )
 
     def ddim_sample_loop_cached(self, model_full_fn, model_cached_fn, shape, *,
                                 interval, refresh_schedule="uniform",
-                                rng=None, noise=None,
+                                force_refresh_mask=None, rng=None, noise=None,
                                 clip_denoised=True, denoised_fn=None,
                                 cond_fn=None, eta=0.0, dtype=jnp.float32):
         """DDIM sampling with the FORA-style layer cache (see
@@ -182,7 +189,7 @@ class Diffusion:
         return ddim_sample_loop_cached(
             model_full_fn, model_cached_fn, shape, self.schedule,
             interval=interval, refresh_schedule=refresh_schedule,
-            rng=rng, noise=noise,
+            force_refresh_mask=force_refresh_mask, rng=rng, noise=noise,
             clip_denoised=clip_denoised, denoised_fn=denoised_fn,
             cond_fn=cond_fn, eta=eta, dtype=dtype,
         )

@@ -14,8 +14,12 @@ body stays one `lax.scan` whose step is a scalar-predicate `lax.cond`
 between the doubled-batch CFG forward and a half-batch conditional forward
 (both shapes static — XLA executes only the taken side per step).
 
-Composes with ddpm/ddim/dpm sampling; not with the FORA layer cache (the
-cache pytree's batch dimension would have to change across the boundary).
+Composes with ddpm/ddim/dpm sampling, and — via
+`guidance_interval_cached_fns` — with the FORA layer cache: the cache
+pytree keeps the CFG-doubled batch everywhere (static shapes for the scan
+carry); out-of-band steps run/read only the conditional half and the
+band-entry step is statically forced to be a cache refresh so the
+unconditional half is never read stale.
 """
 
 from __future__ import annotations
@@ -28,7 +32,8 @@ import numpy as np
 
 from .schedule import DiffusionSchedule
 
-__all__ = ["guidance_interval_mask", "guidance_interval_fn"]
+__all__ = ["guidance_interval_mask", "guidance_interval_fn",
+           "guided_steps_korder", "guidance_interval_cached_fns"]
 
 
 def guidance_interval_mask(sched: DiffusionSchedule, sigma_low: float,
@@ -95,3 +100,76 @@ def guidance_interval_fn(cfg_fn: Callable, cond_fn: Callable,
         return jax.lax.cond(table[t[0]], guided, unguided, x)
 
     return model_fn
+
+
+def guided_steps_korder(sched: DiffusionSchedule, sigma_low: float,
+                        sigma_high: float) -> np.ndarray:
+    """(T,) bool in SAMPLER STEP order (k = 0 visits t = T-1): which steps
+    of the reverse chain are guided. Sigma is monotone in t, so this is one
+    contiguous True segment."""
+    table = guidance_interval_mask(sched, sigma_low, sigma_high)
+    tm = np.asarray(sched.timestep_map, dtype=np.int64)
+    return table[tm[::-1]]
+
+
+def guidance_interval_cached_fns(cfg_fn: Callable, cond_fn: Callable,
+                                 sched: DiffusionSchedule, sigma_low: float,
+                                 sigma_high: float):
+    """Compose the guidance interval with the FORA layer cache.
+
+    cfg_fn(x, t, *, cache=None, want_cache=False): the doubled-batch CFG
+        forward (`DiT.forward_with_cfg` semantics) supporting the cache
+        protocol — x is (2B, ...).
+    cond_fn(x, t, *, cache=None, want_cache=False): the plain conditional
+        forward on a HALF batch (B, ...) with the conditional labels.
+
+    Returns (model_full_fn, model_cached_fn, forced_refresh_korder) for the
+    cached sampling loops (`p_sample_loop_cached(force_refresh_mask=...)`).
+
+    Cache convention: every cache leaf keeps the FULL doubled batch on
+    axis 1 (the nn.scan layer axis is 0), so the scan carry has one static
+    shape. In-band steps use both halves; out-of-band steps evaluate only
+    the conditional half — a refresh mirrors its half-cache into both
+    halves (the uncond half is then stale-by-construction), and a cached
+    step reads only `cache[:, :B]`. The stale uncond half can never be
+    READ: `forced_refresh_korder` marks the band-entry step, so the first
+    guided step after any unguided segment always does a full doubled-batch
+    refresh. Requires uniform t per call (see `guidance_interval_fn`).
+    """
+    table = jnp.asarray(guidance_interval_mask(sched, sigma_low, sigma_high))
+
+    def _mirror(tree):
+        return jax.tree.map(lambda a: jnp.concatenate([a, a], axis=1), tree)
+
+    def _cond_half(tree):
+        return jax.tree.map(lambda a: a[:, : a.shape[1] // 2], tree)
+
+    def model_full_fn(x, t):
+        B = x.shape[0] // 2
+
+        def guided(x):
+            return cfg_fn(x, t, want_cache=True)
+
+        def unguided(x):
+            out, half_cache = cond_fn(x[:B], t[:B], want_cache=True)
+            return (jnp.concatenate([out, out], axis=0), _mirror(half_cache))
+
+        return jax.lax.cond(table[t[0]], guided, unguided, x)
+
+    def model_cached_fn(x, t, cache):
+        B = x.shape[0] // 2
+
+        def guided(args):
+            x, cache = args
+            return cfg_fn(x, t, cache=cache)
+
+        def unguided(args):
+            x, cache = args
+            out = cond_fn(x[:B], t[:B], cache=_cond_half(cache))
+            return jnp.concatenate([out, out], axis=0)
+
+        return jax.lax.cond(table[t[0]], guided, unguided, (x, cache))
+
+    g = guided_steps_korder(sched, sigma_low, sigma_high)
+    forced = g & ~np.concatenate([[False], g[:-1]])
+    return model_full_fn, model_cached_fn, forced

@@ -424,6 +424,7 @@ def p_sample_loop_cached(
     *,
     interval: int,
     refresh_schedule: str = "uniform",
+    force_refresh_mask=None,
     rng: Optional[jax.Array] = None,
     noise=None,
     clip_denoised: bool = True,
@@ -434,11 +435,17 @@ def p_sample_loop_cached(
     """DDPM ancestral sampling with the FORA layer cache (see _cached_loop).
 
     `refresh_schedule` != "uniform" keeps the same refresh budget but
-    places the full evaluations nonuniformly (`cache_refresh_mask`)."""
-    if refresh_schedule != "uniform":
+    places the full evaluations nonuniformly (`cache_refresh_mask`).
+    `force_refresh_mask` ((T,) bool, step order) ORs extra mandatory
+    refreshes into the schedule — used by the guidance-interval composition
+    to pin a full evaluation at the band-entry step."""
+    if refresh_schedule != "uniform" or force_refresh_mask is not None:
+        mask = cache_refresh_mask(sched, interval, refresh_schedule)
+        if force_refresh_mask is not None:
+            mask = mask | np.asarray(force_refresh_mask, dtype=bool)
         return _cached_loop_masked(
             "p", model_full_fn, model_cached_fn, shape, sched,
-            refresh_mask=cache_refresh_mask(sched, interval, refresh_schedule),
+            refresh_mask=mask,
             rng=rng, noise=noise, clip_denoised=clip_denoised,
             denoised_fn=denoised_fn, cond_fn=cond_fn, dtype=dtype,
         )
@@ -457,6 +464,7 @@ def ddim_sample_loop_cached(
     *,
     interval: int,
     refresh_schedule: str = "uniform",
+    force_refresh_mask=None,
     rng: Optional[jax.Array] = None,
     noise=None,
     clip_denoised: bool = True,
@@ -465,11 +473,15 @@ def ddim_sample_loop_cached(
     eta: float = 0.0,
     dtype=jnp.float32,
 ):
-    """DDIM sampling with the FORA layer cache (see _cached_loop)."""
-    if refresh_schedule != "uniform":
+    """DDIM sampling with the FORA layer cache (see _cached_loop and
+    p_sample_loop_cached's force_refresh_mask)."""
+    if refresh_schedule != "uniform" or force_refresh_mask is not None:
+        mask = cache_refresh_mask(sched, interval, refresh_schedule)
+        if force_refresh_mask is not None:
+            mask = mask | np.asarray(force_refresh_mask, dtype=bool)
         return _cached_loop_masked(
             "ddim", model_full_fn, model_cached_fn, shape, sched,
-            refresh_mask=cache_refresh_mask(sched, interval, refresh_schedule),
+            refresh_mask=mask,
             rng=rng, noise=noise, clip_denoised=clip_denoised,
             denoised_fn=denoised_fn, cond_fn=cond_fn, eta=eta, dtype=dtype,
         )

@@ -96,10 +96,12 @@ def main(args):
                               (n, 4, latent_size, latent_size))
         if use_cfg:
             z = jnp.concatenate([z, z], axis=0)
-            apply = lambda x, t, **kw: model.apply(
+            cfg_apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
-            if args.cfg_interval is not None:
+            cond_apply = lambda x, t, **kw: model.apply(params, x, t, y[:n], **kw)
+            apply = cfg_apply
+            if args.cfg_interval is not None and args.cache_interval <= 1:
                 # guidance interval (arXiv:2404.07724): CFG only where the
                 # noise level sigma(t) is in [lo, hi]; elsewhere only the
                 # conditional half runs (half the model FLOPs per step)
@@ -107,26 +109,36 @@ def main(args):
 
                 lo, hi = args.cfg_interval
                 apply = guidance_interval_fn(
-                    apply, lambda x, t: model.apply(params, x, t, y[:n]),
-                    diffusion.schedule, lo, hi)
+                    cfg_apply, cond_apply, diffusion.schedule, lo, hi)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
             # FORA-style layer cache: full model every k-th step, cached
             # adaLN-gate-only steps in between (diffusion/sampling.py)
-            assert args.cfg_interval is None, (
-                "--cfg-interval does not compose with --cache-interval (the "
-                "cache pytree's batch dim would change across the boundary)")
             assert args.sampler != "dpm", (
                 "--cache-interval composes with ddpm/ddim; dpm is already "
                 "the honest-compute fast path (use fewer steps instead)")
+            forced = None
+            if args.cfg_interval is not None:
+                assert use_cfg, "--cfg-interval requires cfg-scale > 1"
+                # composed guidance interval x layer cache: half-batch
+                # conditional steps outside the sigma band, full-batch CFG
+                # inside, one 2B cache with a forced band-entry refresh
+                from fast_dit_tpu.diffusion import guidance_interval_cached_fns
+
+                lo, hi = args.cfg_interval
+                full_fn, cached_fn, forced = guidance_interval_cached_fns(
+                    cfg_apply, cond_apply, diffusion.schedule, lo, hi)
+            else:
+                full_fn = lambda x, t: apply(x, t, want_cache=True)
+                cached_fn = lambda x, t, cache: apply(x, t, cache=cache)
             loop = (diffusion.p_sample_loop_cached if args.sampler == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
             samples = loop(
-                lambda x, t: apply(x, t, want_cache=True),
-                lambda x, t, cache: apply(x, t, cache=cache),
+                full_fn, cached_fn,
                 z.shape, interval=args.cache_interval,
-                refresh_schedule=args.cache_schedule, noise=z,
+                refresh_schedule=args.cache_schedule,
+                force_refresh_mask=forced, noise=z,
                 rng=jax.random.fold_in(rng, 1), clip_denoised=False)
         elif args.sampler == "dpm":
             # DPM-Solver++(2M): deterministic 2nd-order multistep — pair

@@ -143,32 +143,45 @@ def main(args):
         if using_cfg:
             z = jnp.concatenate([z, z], 0)
             yy = jnp.concatenate([y, jnp.full((n,), 1000)], 0)
-            apply = lambda x, t, **kw: model.apply(
+            cfg_apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
-            if args.cfg_interval is not None:
+            cond_apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
+            apply = cfg_apply
+            if args.cfg_interval is not None and args.cache_interval <= 1:
                 # guidance interval (arXiv:2404.07724): CFG only inside the
                 # sigma band, conditional-only (half compute) elsewhere
                 from fast_dit_tpu.diffusion import guidance_interval_fn
 
                 apply = guidance_interval_fn(
-                    apply, lambda x, t: model.apply(params, x, t, y),
-                    diffusion.schedule, *args.cfg_interval)
+                    cfg_apply, cond_apply, diffusion.schedule,
+                    *args.cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
-            assert args.cfg_interval is None, (
-                "--cfg-interval does not compose with --cache-interval")
             assert sampler_kind != "dpm", (
                 "--cache-interval composes with ddpm/ddim; dpm is already "
                 "the honest-compute fast path (use fewer steps instead)")
+            forced = None
+            if args.cfg_interval is not None:
+                assert using_cfg, "--cfg-interval requires cfg-scale > 1"
+                # composed guidance interval x layer cache
+                # (diffusion/guidance_interval.py)
+                from fast_dit_tpu.diffusion import guidance_interval_cached_fns
+
+                full_fn, cached_fn, forced = guidance_interval_cached_fns(
+                    cfg_apply, cond_apply, diffusion.schedule,
+                    *args.cfg_interval)
+            else:
+                full_fn = lambda x, t: apply(x, t, want_cache=True)
+                cached_fn = lambda x, t, cache: apply(x, t, cache=cache)
             loop = (diffusion.p_sample_loop_cached if sampler_kind == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
             samples = loop(
-                lambda x, t: apply(x, t, want_cache=True),
-                lambda x, t, cache: apply(x, t, cache=cache),
+                full_fn, cached_fn,
                 z.shape, interval=args.cache_interval,
-                refresh_schedule=args.cache_schedule, noise=z,
+                refresh_schedule=args.cache_schedule,
+                force_refresh_mask=forced, noise=z,
                 rng=jax.random.fold_in(rng, 2), clip_denoised=False)
         elif sampler_kind == "dpm":
             samples = diffusion.dpm_solver_sample_loop(

@@ -163,3 +163,22 @@ def test_validate_pretrained_dry_run(tmp_path):
     out = r.stdout + r.stderr
     assert "demo-label sample grid" in out
     assert "FAIL" not in out, out[-2000:]
+
+
+@pytest.mark.slow
+def test_nvs_demo_cli(tmp_path):
+    """The runnable NVS pipeline (tools/nvs_demo.py): warp -> mask ->
+    inpaint -> metrics, plus the DiTNVS fork-variant path."""
+    for extra in ([], ["--nvs-model"]):
+        out = tmp_path / ("nvs" + ("_ditnvs" if extra else ""))
+        r = run_cli("tools/nvs_demo.py", "--size", "32",
+                    "--num-sampling-steps", "6", "--out-dir", str(out), *extra)
+        assert r.returncode == 0, r.stderr[-2000:]
+        report = json.load(open(out / "report.json"))
+        # warp path must agree with the exact homography outside the holes
+        assert report["psnr_warped_region"] > 25.0, report
+        assert 0.0 < report["hole_fraction"] < 0.5, report
+        for f in ("src.png", "gt_target.png", "warped_holes.png",
+                  "inpainted.png", "hole_mask.png", "depth.png",
+                  "error_heatmap.png"):
+            assert (out / f).exists(), f
