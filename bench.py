@@ -22,7 +22,8 @@ BASELINE_STEPS_PER_SEC = 0.84  # 1xA100, reference README.md:113
 
 def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
         attn_backend: str, remat_policy: str = "nothing",
-        fused_optimizer: bool = False, scan_unroll: int = 1):
+        fused_optimizer: bool = False, scan_unroll: int = 1,
+        factored_nu: bool = False):
     from fast_dit_tpu.diffusion import create_diffusion
     from fast_dit_tpu.models import DiT_models
     from fast_dit_tpu.train import create_train_state, make_train_step
@@ -39,7 +40,8 @@ def run(model_name: str, batch: int, accum: int, steps: int, image_size: int,
     state, tx = create_train_state(model, jax.random.PRNGKey(0),
                                    mixed_precision=True,
                                    mu_dtype=jnp.bfloat16,
-                                   fused_optimizer=fused_optimizer)
+                                   fused_optimizer=fused_optimizer,
+                                   factored_nu=factored_nu)
     step = jax.jit(
         make_train_step(model, schedule, tx, grad_accum=accum),
         donate_argnums=(0,),
@@ -88,6 +90,11 @@ def main():
                     help="single-sweep fused AdamW+EMA update (measured "
                          "performance-neutral vs the optax chain once timing "
                          "is tunnel-RTT-corrected; see docs/ABLATIONS.md)")
+    ap.add_argument("--factored-nu", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="Adafactor-style rank-1 second moment (requires "
+                         "--fused-optimizer): frees ~2.7GB of nu HBM on XL/2 "
+                         "— the lever that fits --remat-policy attn at accum 1")
     ap.add_argument("--quick", action="store_true",
                     help="small model / batch smoke run")
     ap.add_argument("--metric", default="train", choices=["train", "sampling"],
@@ -113,7 +120,7 @@ def main():
         sps, loss = run(args.model, args.global_batch_size, accum,
                         args.steps, args.image_size, args.attn_backend,
                         args.remat_policy, args.fused_optimizer,
-                        args.scan_unroll)
+                        args.scan_unroll, args.factored_nu)
     except Exception as e:  # OOM -> retry with gradient accumulation
         msg = str(e)
         if args.accum or not rest or not any(
@@ -138,6 +145,8 @@ def main():
                 "--accum-plan", ",".join(map(str, rest))]
         argv.append("--fused-optimizer" if args.fused_optimizer
                     else "--no-fused-optimizer")
+        argv.append("--factored-nu" if args.factored_nu
+                    else "--no-factored-nu")
         os.execv(sys.executable, argv)
     result = {
         "metric": f"train steps/sec, {args.model} {args.image_size}x{args.image_size}, "

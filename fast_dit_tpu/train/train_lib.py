@@ -59,6 +59,8 @@ def create_train_state(model, rng, *, lr: Optional[float] = None,
                        optimizer: Optional[optax.GradientTransformation] = None,
                        mixed_precision: bool = False,
                        mu_dtype=None,
+                       nu_dtype=None,
+                       factored_nu: bool = False,
                        fused_optimizer: bool = False,
                        sampler_state=None):
     """Init params + AdamW + warm-started EMA copy (reference train.py:147-179).
@@ -89,11 +91,16 @@ def create_train_state(model, rng, *, lr: Optional[float] = None,
                 "weight_decay=...); pass them there instead")
         params = jax.tree.map(lambda p: p.astype(jnp.bfloat16), params)
         opt_state = fused_adamw_ema_init(
-            params, mu_dtype=mu_dtype or jnp.bfloat16)
+            params, mu_dtype=mu_dtype or jnp.bfloat16,
+            nu_dtype=nu_dtype or jnp.float32, factored=factored_nu)
         ema = jax.tree.map(jnp.copy, opt_state.master)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           ema=ema, opt_state=opt_state,
                           sampler_state=sampler_state), None
+    if nu_dtype is not None or factored_nu:
+        raise ValueError(
+            "nu_dtype/factored_nu are fused-optimizer features "
+            "(ops/fused_update.py); pass fused_optimizer=True")
     tx = optimizer if optimizer is not None else optax.adamw(
         1e-4 if lr is None else lr,
         weight_decay=0.0 if weight_decay is None else weight_decay,
@@ -245,7 +252,15 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
         if isinstance(node, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(count=rep, mu=pshard, nu=pshard)
         if isinstance(node, FusedAdamWEmaState):
-            return FusedAdamWEmaState(count=rep, mu=pshard, nu=pshard,
+            # factored-nu leaves are tiny row/col vectors: replicate them;
+            # dense nu leaves mirror the param tree
+            from ..ops.fused_update import FactoredNu
+            nu_sh = jax.tree.map(
+                lambda n, ps: (jax.tree.map(lambda _: rep, n)
+                               if isinstance(n, FactoredNu) else ps),
+                node.nu, pshard,
+                is_leaf=lambda n: isinstance(n, FactoredNu))
+            return FusedAdamWEmaState(count=rep, mu=pshard, nu=nu_sh,
                                       master=pshard)
         if isinstance(node, MasterWeightsState):
             return MasterWeightsState(

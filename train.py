@@ -77,6 +77,10 @@ def main(args):
                                    lr=None if args.fused_optimizer else args.lr,
                                    mixed_precision=args.mixed_precision,
                                    fused_optimizer=args.fused_optimizer,
+                                   nu_dtype=(jnp.bfloat16
+                                             if args.nu_dtype == "bf16"
+                                             else None),
+                                   factored_nu=args.factored_nu,
                                    sampler_state=sampler_state)
     n_params = sum(p.size for p in jax.tree.leaves(state.params))
     logger.info(f"DiT Parameters: {n_params:,}")
@@ -262,6 +266,15 @@ def parse_args():
     parser.add_argument("--fused-optimizer", action="store_true",
                         help="single-sweep fused AdamW+EMA update (implies "
                              "mixed precision; ~2x faster optimizer step)")
+    parser.add_argument("--nu-dtype", type=str, default="fp32",
+                        choices=["fp32", "bf16"],
+                        help="second-moment storage dtype (fused optimizer "
+                             "only); bf16 halves nu HBM at coarser adaptive "
+                             "scale resolution")
+    parser.add_argument("--factored-nu", action="store_true",
+                        help="Adafactor-style rank-1 second moment (fused "
+                             "optimizer only): ~zero nu HBM, frees ~2.7GB on "
+                             "XL/2 — pairs with --remat-policy attn in 16GB")
     parser.add_argument("--max-steps", type=int, default=0)
     parser.add_argument("--resume", action="store_true")
     parser.add_argument("--profile-dir", type=str, default=None,
