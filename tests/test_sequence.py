@@ -69,6 +69,111 @@ def test_ring_attention_gradients_match_dense():
                                    rtol=1e-4, atol=1e-4)
 
 
+def qkv_bf16(B=2, S=64, H=2, hd=64, seed=0):
+    """Lane-aligned (H*hd % 128 == 0) bf16 inputs -> the Pallas hop path."""
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    shape = (B, S, H, hd)
+    return tuple((jax.random.normal(k, shape, jnp.float32) * 0.5)
+                 .astype(jnp.bfloat16) for k in ks)
+
+
+@pytest.mark.parametrize("n", [2, 4])
+def test_ring_attention_pallas_bf16_matches_dense(n):
+    """bf16 + lane-aligned D dispatches to the Pallas hop kernel (interpret
+    mode on CPU); must match dense attention to bf16 tolerance."""
+    q, k, v = qkv_bf16()
+    want = naive_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32))
+    got = ring_on_mesh(q, k, v, n)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_ring_attention_pallas_bf16_gradients():
+    """Gradients through the Pallas hop custom-VJP (scan + ppermute around
+    it) == dense-attention gradients, to bf16 tolerance — the property that
+    makes the kernel valid for sequence-parallel training."""
+    q, k, v = qkv_bf16(seed=2)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def loss_dense(q, k, v):
+        out = naive_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                              v.astype(jnp.float32))
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum((ring_on_mesh(q, k, v, 4).astype(jnp.float32)
+                        - tgt) ** 2)
+
+    g_want = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    g_got = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=5e-2, atol=5e-2)
+
+
+def test_ring_attention_bf16_unaligned_falls_back():
+    """bf16 with H*hd % 128 != 0 must take the XLA streaming path and stay
+    correct (the kernel's lane-slicing precondition is a dispatch gate, not
+    a crash)."""
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q, k, v = (jax.random.normal(kk, (2, 32, 4, 8), jnp.float32)
+               .astype(jnp.bfloat16) for kk in ks)
+    want = naive_attention(q.astype(jnp.float32), k.astype(jnp.float32),
+                           v.astype(jnp.float32))
+    got = ring_on_mesh(q, k, v, 4)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=2e-2, atol=2e-2)
+
+
+def test_ring_hop_kernel_vjp_matches_xla_reference():
+    """The hop kernel's (o_u, l) AND its hand-written backward kernel ==
+    the same clamped-softmax math written in plain XLA, under jax.grad with
+    fp32 inputs (HIGHEST-precision MXU passes in interpret mode): pins the
+    custom-VJP math itself, independent of the ring/mesh plumbing."""
+    from fast_dit_tpu.ops.ring_attention import _ring_hop
+
+    B, Sq, Sk, H, hd = 2, 32, 48, 2, 64
+    key = jax.random.PRNGKey(11)
+    q, kb, vb = (jax.random.normal(k, (B, s, H * hd), jnp.float32) * 0.5
+                 for k, s in zip(jax.random.split(key, 3), (Sq, Sk, Sk)))
+    w_o = jax.random.normal(jax.random.PRNGKey(1), (B, Sq, H * hd))
+    w_l = jax.random.normal(jax.random.PRNGKey(2), (B, Sq, H))
+    scale = hd ** -0.5
+
+    def ref_hop(q, kb, vb):
+        qh = q.reshape(B, Sq, H, hd)
+        kh = kb.reshape(B, Sk, H, hd)
+        vh = vb.reshape(B, Sk, H, hd)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                       precision=jax.lax.Precision.HIGHEST) * scale
+        p_u = jnp.exp(jnp.minimum(s, 50.0))
+        o = jnp.einsum("bhqk,bkhd->bqhd", p_u, vh,
+                       precision=jax.lax.Precision.HIGHEST)
+        return o.reshape(B, Sq, H * hd), p_u.sum(-1).transpose(0, 2, 1)
+
+    def loss(hop_fn, q, kb, vb):
+        o, l = hop_fn(q, kb, vb)
+        return jnp.sum(o * w_o) + jnp.sum(l * w_l)
+
+    got_o, got_l = _ring_hop(q, kb, vb, scale, H)
+    want_o, want_l = ref_hop(q, kb, vb)
+    np.testing.assert_allclose(np.asarray(got_o), np.asarray(want_o),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                               rtol=1e-5, atol=1e-5)
+    g_got = jax.grad(lambda *a: loss(
+        lambda q, kb, vb: _ring_hop(q, kb, vb, scale, H), *a),
+        argnums=(0, 1, 2))(q, kb, vb)
+    g_want = jax.grad(lambda *a: loss(ref_hop, *a),
+                      argnums=(0, 1, 2))(q, kb, vb)
+    for a, b in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_ring_backend_string_outside_shardmap_fails():
     """'ring:<axis>' requires the mesh axis to be bound — a clear error, not
     silent garbage."""

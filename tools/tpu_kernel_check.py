@@ -123,6 +123,52 @@ def check(S, dtype_name, fwd_impl):
             "fwd_ok": f_err <= f_tol, "grad_ok": g_err <= g_tol}
 
 
+# ring-attention shard-local hop (ops/ring_attention.py): the multi-chip
+# ring itself is CPU-mesh-tested (tests/test_sequence.py); what needs the
+# real chip is the hop kernel's compiled numerics at the 512²/1024² shard
+# sizes the sequence-parallel path exists for. With logits < the clamp the
+# normalized hop output equals exact softmax attention, so the SAME fp64
+# oracle applies. fp32 at 4096 exceeds the backward's VMEM budget (and is
+# never dispatched — the Pallas hop is the bf16 path); bf16 covers it.
+RING_CASES = [(1024, "float32"), (1024, "bfloat16"),
+              (2048, "bfloat16"), (4096, "bfloat16")]
+
+
+def check_ring_hop(S, dtype_name):
+    from fast_dit_tpu.ops.ring_attention import _ring_hop
+
+    dtype = jnp.float32 if dtype_name == "float32" else jnp.bfloat16
+    B, H, hd = 1, 16, 72
+    D = H * hd
+    key = jax.random.PRNGKey(S + 7)
+    qf, kf, vf = ((jax.random.normal(k, (B, S, D)) * 0.5).astype(dtype)
+                  for k in jax.random.split(key, 3))
+    g = jax.random.normal(jax.random.fold_in(key, 1), (B, S, H, hd))
+    scale = hd ** -0.5
+
+    def out_fn(qf, kf, vf):
+        o, l = _ring_hop(qf, kf, vf, scale, H)
+        return o.reshape(B, S, H, hd) / jnp.maximum(l, 1e-30)[..., None]
+
+    def loss(qf, kf, vf):
+        return (out_fn(qf, kf, vf) * g).sum()
+
+    out = jax.jit(out_fn)(qf, kf, vf)
+    dq, dk, dv = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qf, kf, vf)
+    qkv = jnp.stack([qf.reshape(B, S, H, hd), kf.reshape(B, S, H, hd),
+                     vf.reshape(B, S, H, hd)], axis=2)
+    ref_out, ref_dqkv = oracle_fp64(qkv, g)
+    f_err = float(np.abs(np.asarray(out, np.float64) - ref_out).max())
+    g_err = max(float(np.abs(np.asarray(d, np.float64).reshape(B, S, H, hd)
+                             - ref_dqkv[:, :, i]).max())
+                for i, d in enumerate((dq, dk, dv)))
+    f_tol, g_tol = (5e-2, 5e-2) if dtype_name == "bfloat16" else (5e-5, 5e-5)
+    return {"S": S, "dtype": dtype_name, "fwd_impl": "ring-hop",
+            "fwd_max_abs_err": round(f_err, 7), "fwd_tol": f_tol,
+            "grad_max_abs_err": round(g_err, 7), "grad_tol": g_tol,
+            "fwd_ok": f_err <= f_tol, "grad_ok": g_err <= g_tol}
+
+
 def main():
     if jax.default_backend() != "tpu":
         print(json.dumps({"error": "needs a real TPU backend "
@@ -140,6 +186,13 @@ def main():
                 print(json.dumps(row), flush=True)
                 if not (row["fwd_ok"] and row["grad_ok"]):
                     failures += 1
+    for S, dtype_name in RING_CASES:
+        row = check_ring_hop(S, dtype_name)
+        row["regime"] = "ring-hop"
+        results.append(row)
+        print(json.dumps(row), flush=True)
+        if not (row["fwd_ok"] and row["grad_ok"]):
+            failures += 1
     print(json.dumps({"cases": len(results), "failures": failures,
                       "device": str(jax.devices()[0])}), flush=True)
     sys.exit(1 if failures else 0)
