@@ -53,6 +53,12 @@ def main():
                     help="comma list of token-merging ratios to run as extra "
                          "ddpm250 rows (alone and composed with cache k=2), "
                          "e.g. '0.5,0.75'")
+    ap.add_argument("--cfg-interval", type=float, nargs=2, default=None,
+                    metavar=("SIGMA_LO", "SIGMA_HI"),
+                    help="also run each config composed with the guidance "
+                         "interval (arXiv:2404.07724): CFG only inside the "
+                         "sigma band, half-batch conditional steps outside "
+                         "(diffusion/guidance_interval.py) — e.g. 0.19 1.61")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--ckpt", default=None)
     args = ap.parse_args()
