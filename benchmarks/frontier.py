@@ -92,7 +92,8 @@ def main():
     rng = jax.random.PRNGKey(42)
     z = jax.random.normal(jax.random.fold_in(rng, 0), (2 * n, 4, latent, latent))
 
-    def run_config(sampler, steps, interval, tome_ratio=0.0):
+    def run_config(sampler, steps, interval, tome_ratio=0.0,
+                   cfg_interval=None):
         diffusion = create_diffusion(
             f"ddim{steps}" if sampler == "ddim" else str(steps))
         mdl = (model.clone(tome_ratio=tome_ratio, tome_mlp=args.tome_mlp)
@@ -104,6 +105,15 @@ def main():
             apply = lambda x, t, **kw: mdl.apply(
                 p, x, t, y, method=mdl.forward_with_cfg,
                 cfg_scale=args.cfg_scale, **kw)
+            cond_apply = lambda x, t, **kw: mdl.apply(p, x, t, y[:n], **kw)
+            if cfg_interval is not None and interval == 1:
+                # guidance interval (arXiv:2404.07724): CFG only inside the
+                # sigma band, half-batch conditional forwards outside —
+                # same wiring as sample.py
+                from fast_dit_tpu.diffusion import guidance_interval_fn
+                lo, hi = cfg_interval
+                apply = guidance_interval_fn(
+                    apply, cond_apply, diffusion.schedule, lo, hi)
             if sampler == "dpm":
                 return diffusion.dpm_solver_sample_loop(
                     apply, zz.shape, noise=zz, clip_denoised=False)[:n]
@@ -112,13 +122,21 @@ def main():
                         else diffusion.ddim_sample_loop)
                 return loop(apply, zz.shape, noise=zz, rng=rng,
                             clip_denoised=False)[:n]
+            forced = None
+            if cfg_interval is not None:
+                from fast_dit_tpu.diffusion import guidance_interval_cached_fns
+                lo, hi = cfg_interval
+                full_fn, cached_fn, forced = guidance_interval_cached_fns(
+                    apply, cond_apply, diffusion.schedule, lo, hi)
+            else:
+                full_fn = lambda x, t: apply(x, t, want_cache=True)
+                cached_fn = lambda x, t, cache: apply(x, t, cache=cache)
             loop = (diffusion.p_sample_loop_cached if sampler == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
             return loop(
-                lambda x, t: apply(x, t, want_cache=True),
-                lambda x, t, cache: apply(x, t, cache=cache),
-                zz.shape, interval=interval, noise=zz, rng=rng,
-                clip_denoised=False)[:n]
+                full_fn, cached_fn,
+                zz.shape, interval=interval, force_refresh_mask=forced,
+                noise=zz, rng=rng, clip_denoised=False)[:n]
 
         fn = jax.jit(fn)
         out = jax.device_get(fn(params, z))  # compile + materialize
@@ -143,21 +161,27 @@ def main():
         for k in intervals:
             if sampler == "dpm" and k > 1:
                 continue  # dpm IS the honest fast path; no cache composition
-            out, p50 = run_config(sampler, steps, k)
-            if k == 1:
-                own_exact[(sampler, steps)] = out
-                if ref250 is None and sampler == "ddpm" and steps == 250:
-                    ref250 = out
-            row = {
-                "sampler": sampler, "steps": steps, "cache_interval": k,
-                "img_per_sec": round(n / p50, 4),
-                "p50_latency_sec": round(p50, 3),
-                "rel_l2_vs_own_exact": round(
-                    rel_l2(out, own_exact[(sampler, steps)]), 5),
-            }
-            if ref250 is not None:
-                row["rel_l2_vs_ddpm250"] = round(rel_l2(out, ref250), 5)
-            print(json.dumps(row), flush=True)
+            variants = [None]
+            if args.cfg_interval is not None:
+                variants.append(tuple(args.cfg_interval))
+            for ci in variants:
+                out, p50 = run_config(sampler, steps, k, cfg_interval=ci)
+                if k == 1 and ci is None:
+                    own_exact[(sampler, steps)] = out
+                    if ref250 is None and sampler == "ddpm" and steps == 250:
+                        ref250 = out
+                row = {
+                    "sampler": sampler, "steps": steps, "cache_interval": k,
+                    "img_per_sec": round(n / p50, 4),
+                    "p50_latency_sec": round(p50, 3),
+                    "rel_l2_vs_own_exact": round(
+                        rel_l2(out, own_exact[(sampler, steps)]), 5),
+                }
+                if ci is not None:
+                    row["cfg_interval"] = list(ci)
+                if ref250 is not None:
+                    row["rel_l2_vs_ddpm250"] = round(rel_l2(out, ref250), 5)
+                print(json.dumps(row), flush=True)
 
     # token-merging rows: ddpm250 at each ratio, alone and with cache k=2
     ratios = [float(r) for r in args.tome_ratios.split(",") if r]
