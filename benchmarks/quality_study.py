@@ -119,10 +119,16 @@ def train_classifier(*, image_size=32, steps=800, batch=256, lr=1e-3,
 
 def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
               lr=1e-4, ema_decay=0.999, seed=0, log_every=500,
-              attn_backend="auto"):
+              attn_backend="auto", optimizer="adamw"):
     """Train class-conditional pixel-space DiT with the standard trainer
     (`train/train_lib.py` — the same step train.py jits). Returns
-    (model, ema_variables, final_loss)."""
+    (model, ema_variables, final_loss).
+
+    optimizer: "adamw" (exact optax AdamW — the default everywhere) or
+    "factored" (fused update + Adafactor-style rank-1 second moment,
+    `--fused-optimizer --factored-nu` in train.py) — the fast config from
+    the round-4 memory work; training a study model with it is the quality
+    evidence that decides whether it can become the default."""
     jax, jnp = _lazy_imports()
     from fast_dit_tpu.data.synthetic import NUM_CLASSES, synth_batch
     from fast_dit_tpu.diffusion import create_diffusion
@@ -134,9 +140,15 @@ def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
         dtype=jnp.bfloat16, attn_backend=attn_backend,
         remat=True)  # train.py's default: full activations at bs256 OOM 16GB
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training
-    state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr)
+    if optimizer == "factored":
+        state, tx = create_train_state(model, jax.random.PRNGKey(seed),
+                                       fused_optimizer=True, factored_nu=True)
+    else:
+        assert optimizer == "adamw", optimizer
+        state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr)
     step_fn = jax.jit(
-        make_train_step(model, diffusion.schedule, tx, ema_decay=ema_decay),
+        make_train_step(model, diffusion.schedule, tx, ema_decay=ema_decay,
+                        lr=lr),
         donate_argnums=(0,))
 
     rng = np.random.default_rng(seed)
@@ -182,7 +194,11 @@ def default_configs():
                # the paper shows IMPROVES distribution quality
                ("ddpm", 250, 1, 1.5, 0.0, False, "uniform", (0.19, 1.61)),
                ("ddpm", 250, 1, 1.5, 0.0, False, "uniform", (0.3, 3.0)),
-               ("dpm", 25, 1, 1.5, 0.0, False, "uniform", (0.3, 3.0))])
+               ("dpm", 25, 1, 1.5, 0.0, False, "uniform", (0.3, 3.0)),
+               # composed guidance interval x layer cache (round 4): the
+               # multiplicative speed win — does quality hold up?
+               ("ddpm", 250, 2, 1.5, 0.0, False, "uniform", (0.19, 1.61)),
+               ("ddpm", 250, 3, 1.5, 0.0, False, "uniform", (0.19, 1.61))])
 
 
 def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
@@ -208,13 +224,12 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
                 cfg_scale=cfg_scale, guidance_channels=3, **kw)
-            if cfg_interval is not None:
+            cond_apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
+            if cfg_interval is not None and interval == 1:
                 from fast_dit_tpu.diffusion import guidance_interval_fn
 
-                assert interval == 1, "cfg_interval != layer cache"
                 apply = guidance_interval_fn(
-                    apply, lambda x, t: model.apply(params, x, t, y),
-                    diffusion.schedule, *cfg_interval)
+                    apply, cond_apply, diffusion.schedule, *cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if sampler == "dpm":
@@ -226,12 +241,25 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
             out = loop(apply, z.shape, noise=z,
                        rng=jax.random.fold_in(rng, 1), clip_denoised=True)
         else:
+            forced = None
+            if cfg_interval is not None:
+                # composed guidance interval x layer cache — same wiring as
+                # sample.py: one 2B cache, half-batch out-of-band steps,
+                # forced band-entry refresh
+                from fast_dit_tpu.diffusion import guidance_interval_cached_fns
+
+                assert use_cfg
+                full_fn, cached_fn, forced = guidance_interval_cached_fns(
+                    apply, cond_apply, diffusion.schedule, *cfg_interval)
+            else:
+                full_fn = lambda x, t: apply(x, t, want_cache=True)
+                cached_fn = lambda x, t, cache: apply(x, t, cache=cache)
             loop = (diffusion.p_sample_loop_cached if sampler == "ddpm"
                     else diffusion.ddim_sample_loop_cached)
-            out = loop(lambda x, t: apply(x, t, want_cache=True),
-                       lambda x, t, cache: apply(x, t, cache=cache),
+            out = loop(full_fn, cached_fn,
                        z.shape, interval=interval,
-                       refresh_schedule=cache_schedule, noise=z,
+                       refresh_schedule=cache_schedule,
+                       force_refresh_mask=forced, noise=z,
                        rng=jax.random.fold_in(rng, 1), clip_denoised=True)
         return out[:batch]
 
@@ -241,8 +269,11 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
 
 def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
                      num_eval=2048, batch=256, configs=None, grid_dir=None,
-                     jsonl_path=None, throughput_reps=2):
-    """Run every sampling config; returns the list of result rows."""
+                     jsonl_path=None, throughput_reps=2, eval_seeds=3):
+    """Run every sampling config with `eval_seeds` independent noise seeds;
+    rows report mean +/- std over seeds so the cls-acc/FID ordering carries
+    error bars (a single-seed ordering at num_eval=2048 is within noise for
+    nearby configs). Returns the list of result rows."""
     jax, jnp = _lazy_imports()
     from fast_dit_tpu.data.synthetic import NUM_CLASSES, synth_batch
     from fast_dit_tpu.nvs.metrics import compute_fid, compute_kid
@@ -294,17 +325,25 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         run = make_sampler(model, ema, sampler, steps, interval, cfg, tome,
                            tome_mlp, csched, band, image_size=image_size,
                            batch=batch)
-        gen, times = [], []
-        for i in range(0, num_eval, batch):
-            y = jnp.asarray(labels[i: i + batch])
-            t0 = time.perf_counter()
-            out = np.asarray(
-                jax.device_get(run(y, jax.random.PRNGKey(9000 + i))),
-                np.float32)
-            times.append(time.perf_counter() - t0)
-            gen.append(out)
-        gen = np.concatenate(gen)
-        feats_g, preds_g = features_and_preds(gen)
+        fids, kids, accs, times = [], [], [], []
+        grid_images = None
+        for s in range(eval_seeds):
+            gen = []
+            for i in range(0, num_eval, batch):
+                y = jnp.asarray(labels[i: i + batch])
+                t0 = time.perf_counter()
+                out = np.asarray(
+                    jax.device_get(run(y, jax.random.PRNGKey(
+                        9000 + 100_000 * s + i))), np.float32)
+                times.append(time.perf_counter() - t0)
+                gen.append(out)
+            gen = np.concatenate(gen)
+            feats_g, preds_g = features_and_preds(gen)
+            fids.append(compute_fid(feats_a, feats_g, ident))
+            kids.append(compute_kid(feats_a, feats_g, ident)[0])
+            accs.append(float((preds_g == labels).mean()))
+            if s == 0:
+                grid_images = gen[:40]
         # steady-state throughput: skip the compile-inclusive first batch
         steady = sorted(times[1:])[len(times[1:]) // 2] if len(times) > 1 else times[0]
         name = (f"{sampler}{steps}"
@@ -314,23 +353,26 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
                    if tome > 0 else "")
                 + (f" band={band[0]}-{band[1]}" if band is not None else "")
                 + (" no-cfg" if cfg <= 1.0 else ""))
+        mean = lambda v: float(np.mean(v))
+        std = lambda v: float(np.std(v))
         row = {
             "config": name, "sampler": sampler, "steps": steps,
             "cache_interval": interval, "cfg_scale": cfg,
             "tome_ratio": tome, "tome_mlp": tome_mlp,
             "cache_schedule": csched,
             "cfg_interval": list(band) if band is not None else None,
-            "fid": round(compute_fid(feats_a, feats_g, ident), 4),
-            "kid": round(compute_kid(feats_a, feats_g, ident)[0], 6),
-            "cls_acc": round(float((preds_g == labels).mean()), 4),
+            "fid": round(mean(fids), 4), "fid_std": round(std(fids), 4),
+            "kid": round(mean(kids), 6), "kid_std": round(std(kids), 6),
+            "cls_acc": round(mean(accs), 4),
+            "cls_acc_std": round(std(accs), 4),
             "img_per_sec": round(batch / steady, 2),
-            "num_eval": num_eval,
+            "num_eval": num_eval, "eval_seeds": eval_seeds,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
         if grid_dir and (interval in (1, 4) or sampler == "dpm"):
             tag = name.replace(" ", "_").replace("=", "")
-            save_image(gen[:40], os.path.join(
+            save_image(grid_images, os.path.join(
                 grid_dir, f"quality_study_{tag}.png"), nrow=10)
 
     if jsonl_path:
@@ -361,9 +403,17 @@ def main():
     ap.add_argument("--ema-decay", type=float, default=0.999,
                     help="short-run EMA horizon (reference 0.9999 assumes "
                          "400k-step runs)")
+    ap.add_argument("--optimizer", default="adamw",
+                    choices=["adamw", "factored"],
+                    help="'factored' trains with the fused update + rank-1 "
+                         "second moment (--fused-optimizer --factored-nu): "
+                         "quality evidence for the round-4 fast config")
     ap.add_argument("--clf-steps", type=int, default=800)
     ap.add_argument("--num-eval", type=int, default=2048)
     ap.add_argument("--eval-batch", type=int, default=256)
+    ap.add_argument("--eval-seeds", type=int, default=3,
+                    help="independent noise seeds per config; rows report "
+                         "mean +/- std (error bars on the quality ordering)")
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--jsonl", default=None)
     ap.add_argument("--grid-dir", default=None)
@@ -382,7 +432,7 @@ def main():
         model, ema, loss = train_dit(
             model_name=args.model, image_size=args.image_size,
             steps=args.steps, batch=args.batch, ema_decay=args.ema_decay,
-            seed=args.seed)
+            seed=args.seed, optimizer=args.optimizer)
         with open(dit_path, "wb") as f:
             f.write(serialization.to_bytes(ema))
         with open(clf_path, "wb") as f:
@@ -391,7 +441,8 @@ def main():
             json.dump({"model": args.model, "image_size": args.image_size,
                        "train_steps": args.steps, "batch": args.batch,
                        "ema_decay": args.ema_decay, "final_loss": loss,
-                       "judge_holdout_acc": clf_acc, "seed": args.seed}, f)
+                       "judge_holdout_acc": clf_acc, "seed": args.seed,
+                       "optimizer": args.optimizer}, f)
 
     if args.phase in ("all", "eval"):
         import jax.numpy as jnp
@@ -418,7 +469,8 @@ def main():
         evaluate_configs(model, ema, clf_params, clf.apply,
                          image_size=meta["image_size"],
                          num_eval=args.num_eval, batch=args.eval_batch,
-                         grid_dir=args.grid_dir, jsonl_path=args.jsonl)
+                         grid_dir=args.grid_dir, jsonl_path=args.jsonl,
+                         eval_seeds=args.eval_seeds)
 
 
 if __name__ == "__main__":
