@@ -48,17 +48,23 @@ def main():
     D = H * hd
     scale = hd ** -0.5
 
-    def pallas_chain(q, k, v):
+    # grad mode remats each hop (as the production train step remats the
+    # block stack): without it the XLA hop's saved (B,H,S,S) probabilities
+    # alone exceed HBM over the chain (measured 25.5/15.75 GB at S=2048,
+    # 50 hops) — which is the pathology the Pallas hop exists to avoid, but
+    # benching needs the XLA side to fit at all
+    def pallas_chain(q, k, v, remat=False):
         def body(c, _):
             o, _l = _ring_hop(c, k, v, scale, H)
             # feed the (rescaled) output back as the next query: a real data
             # dependence so XLA cannot batch or elide the chain
             return (o * (1.0 / k.shape[1])).astype(q.dtype), None
 
-        out, _ = jax.lax.scan(body, q, None, length=args.iters)
+        out, _ = jax.lax.scan(jax.checkpoint(body) if remat else body,
+                              q, None, length=args.iters)
         return out
 
-    def xla_chain(q, k, v):
+    def xla_chain(q, k, v, remat=False):
         # one ring hop of the XLA streaming path (_ring_xla's step body on a
         # fresh carry): fp32 (B,H,Sq,Sk) logits + online-softmax update
         kf = k.astype(jnp.float32).reshape(B, -1, H, hd).transpose(0, 2, 1, 3)
@@ -76,7 +82,8 @@ def main():
                 B, -1, D)
             return o.astype(c.dtype), None
 
-        out, _ = jax.lax.scan(body, q, None, length=args.iters)
+        out, _ = jax.lax.scan(jax.checkpoint(body) if remat else body,
+                              q, None, length=args.iters)
         return out
 
     print(json.dumps({"device": str(jax.devices()[0]), "B": B, "H": H,
@@ -87,16 +94,36 @@ def main():
             jnp.bfloat16) for kk in jax.random.split(key, 3))
         row = {"shard_tokens": S}
         for name, fn in (("pallas_hop", pallas_chain), ("xla_hop", xla_chain)):
-            jitted = jax.jit(fn)
-            float(jitted(q, k, v).sum())  # compile + warm
-            times = []
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                float(jitted(q, k, v).sum())  # one host sync per rep
-                times.append(time.perf_counter() - t0)
-            per_hop_ms = 1e3 * sorted(times)[len(times) // 2] / args.iters
-            row[f"{name}_ms"] = round(per_hop_ms, 4)
-        row["speedup"] = round(row["xla_hop_ms"] / row["pallas_hop_ms"], 3)
+            for mode in ("fwd", "grad"):
+                if mode == "fwd":
+                    jitted = jax.jit(
+                        lambda q, k, v, f=fn: f(q, k, v).astype(
+                            jnp.float32).sum())
+                else:
+                    # fwd+bwd of the whole chain: the training regime — the
+                    # ring path is differentiable and sp-training is its
+                    # second use case
+                    jitted = jax.jit(jax.grad(
+                        lambda q, k, v, f=fn: f(q, k, v, remat=True).astype(
+                            jnp.float32).sum(), argnums=(0, 1, 2)))
+
+                def sync():
+                    out = jitted(q, k, v)
+                    leaf = out[0] if isinstance(out, tuple) else out
+                    float(jnp.asarray(leaf).astype(jnp.float32).sum())
+
+                sync()  # compile + warm
+                times = []
+                for _ in range(args.reps):
+                    t0 = time.perf_counter()
+                    sync()  # one host sync per rep
+                    times.append(time.perf_counter() - t0)
+                per_hop_ms = (1e3 * sorted(times)[len(times) // 2]
+                              / args.iters)
+                row[f"{name}_{mode}_ms"] = round(per_hop_ms, 4)
+        for mode in ("fwd", "grad"):
+            row[f"speedup_{mode}"] = round(
+                row[f"xla_hop_{mode}_ms"] / row[f"pallas_hop_{mode}_ms"], 3)
         print(json.dumps(row), flush=True)
 
 

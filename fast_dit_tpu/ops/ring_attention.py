@@ -21,7 +21,7 @@ ops/flash_attention.py — the round-3 trace audit showed XLA's loss is
 (B, H, S, S) score/probability traffic through HBM, which is exactly what a
 plain-einsum hop materializes per hop per layer):
 
-- **bf16 (the throughput path): a Pallas hop kernel.** The repo's
+- **bf16 (the throughput path): Pallas hop kernels.** The repo's
   clamped-logit softmax (exp(min(s, 50)); exact whenever logits < 50, which
   LN-bounded DiT logits are) makes the per-hop partials ASSOCIATIVE with no
   running max: each hop emits unnormalized o_u = exp(s)v and the MXU
@@ -30,7 +30,10 @@ plain-einsum hop materializes per hop per layer):
   in VMEM. A matching custom-VJP backward kernel recomputes the hop softmax
   flash-style (residual = q/k/v shards only) and emits dq/dk/dv without any
   HBM probability traffic — so sequence-parallel TRAINING also avoids the
-  probs regime.
+  probs regime. Below the measured 2048-token forward crossover the hop is
+  HYBRID (same split as the main attention): XLA forward (0.88x-faster at
+  512/1024-token shards, benchmarks/ring_hop_bench.py) + the same Pallas
+  backward.
 - **fp32 (the parity path): XLA streaming online-softmax** with the running
   (o, m, l) triple — unconditionally exact for any input magnitude
   (tests/test_sequence.py pins it against `naive_attention` to fp32
@@ -249,8 +252,49 @@ def _ring_hop_bwd(scale, num_heads, res, cts):
 _ring_hop.defvjp(_ring_hop_fwd, _ring_hop_bwd)
 
 
+def _hop_xla_forward(q, kb, vb, scale, num_heads):
+    """The SAME clamped unnormalized hop contract as _hop_forward, in plain
+    XLA: below the Pallas crossover the (Sq, Sk) scores fit XLA's fused
+    attention regime and its forward is faster (measured
+    benchmarks/ring_hop_bench.py: 0.88x Pallas at 512/1024-token shards)."""
+    B, Sq, D = q.shape
+    hd = D // num_heads
+    qh = q.reshape(B, Sq, num_heads, hd)
+    kh = kb.reshape(B, kb.shape[1], num_heads, hd)
+    vh = vb.reshape(B, vb.shape[1], num_heads, hd)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32) * scale
+    p_u = jnp.exp(jnp.minimum(s, _CLAMP))
+    o = jnp.einsum("bhqk,bkhd->bqhd", p_u.astype(q.dtype), vh,
+                   preferred_element_type=jnp.float32)
+    l = p_u.sum(axis=-1).transpose(0, 2, 1)  # (B, Sq, H) fp32
+    return o.reshape(B, Sq, D), l
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ring_hop_hybrid(q, kb, vb, scale, num_heads):
+    """Hybrid hop: XLA forward (faster below the crossover) + the fused
+    Pallas backward (no saved/re-read HBM probabilities) — the same
+    split the main attention uses (ops/flash_attention.py 'hybrid')."""
+    return _hop_xla_forward(q, kb, vb, scale, num_heads)
+
+
+def _ring_hop_hybrid_fwd(q, kb, vb, scale, num_heads):
+    return _hop_xla_forward(q, kb, vb, scale, num_heads), (q, kb, vb)
+
+
+_ring_hop_hybrid.defvjp(_ring_hop_hybrid_fwd, _ring_hop_bwd)
+
+
+# Pallas-forward crossover (measured, benchmarks/ring_hop_bench.py /
+# performance/v5e/ring_hop_bench.jsonl): XLA's hop forward wins below
+# 2048-token shards, the VMEM-resident Pallas forward wins above. The
+# backward is the Pallas kernel either way.
+_HOP_PALLAS_FWD_MIN_SEQ = 2048
+
+
 def _ring_pallas(q, k, v, *, axis: str, scale: float, n: int):
-    """bf16 ring attention with the Pallas hop kernel (see module doc)."""
+    """bf16 ring attention with the Pallas hop kernels (see module doc)."""
     B, Sq, H, hd = q.shape
     D = H * hd
     # one flat relayout per tensor, outside the scan (hd=72 pads to 128 in
@@ -259,10 +303,11 @@ def _ring_pallas(q, k, v, *, axis: str, scale: float, n: int):
     kf = k.reshape(B, Sq, D)
     vf = v.reshape(B, Sq, D)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    hop = _ring_hop if Sq >= _HOP_PALLAS_FWD_MIN_SEQ else _ring_hop_hybrid
 
     def step(carry, _):
         o, l, kb, vb = carry
-        ob, lb = _ring_hop(qf, kb, vb, scale, H)
+        ob, lb = hop(qf, kb, vb, scale, H)
         o = o + ob
         l = l + lb
         kb = lax.ppermute(kb, axis, perm)

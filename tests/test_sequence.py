@@ -174,6 +174,38 @@ def test_ring_hop_kernel_vjp_matches_xla_reference():
                                    rtol=1e-4, atol=1e-4)
 
 
+def test_ring_hop_hybrid_matches_kernel():
+    """The hybrid hop (XLA forward + Pallas backward) computes the same
+    clamped-partials contract as the full-Pallas hop — outputs AND grads, so
+    the _HOP_PALLAS_FWD_MIN_SEQ dispatch is a pure speed decision."""
+    from fast_dit_tpu.ops.ring_attention import _ring_hop, _ring_hop_hybrid
+
+    B, Sq, Sk, H, hd = 2, 32, 48, 2, 64
+    key = jax.random.PRNGKey(17)
+    q, kb, vb = (jax.random.normal(k, (B, s, H * hd), jnp.float32) * 0.5
+                 for k, s in zip(jax.random.split(key, 3), (Sq, Sk, Sk)))
+    w_o = jax.random.normal(jax.random.PRNGKey(3), (B, Sq, H * hd))
+    w_l = jax.random.normal(jax.random.PRNGKey(4), (B, Sq, H))
+    scale = hd ** -0.5
+
+    for i, (a, b) in enumerate(zip(_ring_hop(q, kb, vb, scale, H),
+                                   _ring_hop_hybrid(q, kb, vb, scale, H))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"out {i}")
+
+    def loss(hop, q, kb, vb):
+        o, l = hop(q, kb, vb, scale, H)
+        return jnp.sum(o * w_o) + jnp.sum(l * w_l)
+
+    g_k = jax.grad(lambda *a: loss(_ring_hop, *a), argnums=(0, 1, 2))(
+        q, kb, vb)
+    g_h = jax.grad(lambda *a: loss(_ring_hop_hybrid, *a), argnums=(0, 1, 2))(
+        q, kb, vb)
+    for a, b in zip(g_h, g_k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_ring_backend_string_outside_shardmap_fails():
     """'ring:<axis>' requires the mesh axis to be bound — a clear error, not
     silent garbage."""
