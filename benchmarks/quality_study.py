@@ -203,8 +203,15 @@ def default_configs():
 
 def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
                  tome_ratio=0.0, tome_mlp=False, cache_schedule="uniform",
-                 cfg_interval=None, *, image_size, batch):
-    """jitted (labels, rng) -> (batch, 3, H, W) samples in [-1, 1]."""
+                 cfg_interval=None, *, image_size=None, batch,
+                 clip_denoised=True):
+    """jitted (labels, rng) -> (batch, C, H, W) samples.
+
+    Shapes come from the model itself (model.in_channels x model.input_size²)
+    so the same harness drives the pixel-space study (C=3) and latent-space
+    DiTs (C=4, decode outside; pass clip_denoised=False there). CFG guides
+    3 channels — for pixel models that's full-channel, for 4-channel latents
+    it is exactly the reference quirk (models_original.py:262)."""
     jax, jnp = _lazy_imports()
     from fast_dit_tpu.diffusion import create_diffusion
 
@@ -214,13 +221,14 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
     diffusion = create_diffusion(
         f"ddim{steps}" if sampler == "ddim" else str(steps))
     use_cfg = cfg_scale > 1.0
+    size = model.input_size
 
     def fn(params, y, rng):
-        shape = (2 * batch if use_cfg else batch, 3, image_size, image_size)
+        shape = (2 * batch if use_cfg else batch, model.in_channels,
+                 size, size)
         z = jax.random.normal(jax.random.fold_in(rng, 0), shape)
         if use_cfg:
             yy = jnp.concatenate([y, jnp.full((batch,), model.num_classes)])
-            # guidance_channels=3 == in_channels here: full-channel CFG
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
                 cfg_scale=cfg_scale, guidance_channels=3, **kw)
@@ -234,12 +242,12 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(
-                apply, z.shape, noise=z, clip_denoised=True)
+                apply, z.shape, noise=z, clip_denoised=clip_denoised)
         elif interval == 1:
             loop = (diffusion.p_sample_loop if sampler == "ddpm"
                     else diffusion.ddim_sample_loop)
             out = loop(apply, z.shape, noise=z,
-                       rng=jax.random.fold_in(rng, 1), clip_denoised=True)
+                       rng=jax.random.fold_in(rng, 1), clip_denoised=clip_denoised)
         else:
             forced = None
             if cfg_interval is not None:
@@ -260,7 +268,7 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
                        z.shape, interval=interval,
                        refresh_schedule=cache_schedule,
                        force_refresh_mask=forced, noise=z,
-                       rng=jax.random.fold_in(rng, 1), clip_denoised=True)
+                       rng=jax.random.fold_in(rng, 1), clip_denoised=clip_denoised)
         return out[:batch]
 
     jitted = jax.jit(fn)
