@@ -11,16 +11,23 @@ environment — so this study trains the in-repo `AutoencoderKL`
 procedural dataset itself, then runs the full chain with every layer coming
 from this repo:
 
-  1. train a small kl-f8 AutoencoderKL (recon MSE + beta*KL) on procedural
-     images; report recon PSNR + the empirical latent scale (the analog of
-     the SD 0.18215, which is itself 1/std of the training latents);
-  2. train DiT-S/2 on the encoded latents — at --image-size 256 the DiT
-     input is (4, 32, 32): EXACTLY the tensor contract of the reference's
-     256² feature pipeline; at --image-size 512 it is the 64²-latent /
-     1024-token regime;
-  3. sample {exact, cache k, guidance band, composed, dpm} in latent space,
-     decode with the same VAE, and judge with the independent pixel-space
-     CNN (same judge design as quality_study), multi-seed with error bars.
+  1. build a FINITE pixel dataset once (the host renderer is single-core
+     and ~12 s per 256-image batch at 256² — per-step fresh batches would
+     be a 20-hour train; a finite dataset trained for many epochs is also
+     exactly the reference's contract: extract features once
+     (`extract_features.py`), then epoch over the .npy set (`train.py`));
+  2. train a small kl-f8 AutoencoderKL (recon MSE + beta*KL) on it; report
+     recon PSNR + the empirical latent scale (the analog of the SD 0.18215,
+     which is itself 1/std of the training latents);
+  3. encode the dataset ONCE (posterior sample, scaled) — the study's
+     `extract_features.py` step — and train DiT-S/2 on the cached latents:
+     at --image-size 256 the DiT input is (4, 32, 32), EXACTLY the tensor
+     contract of the reference's 256² feature pipeline;
+  4. sample {exact, cache k, guidance band, composed, dpm} in latent space,
+     decode with the same VAE, and judge with an independent pixel-space
+     CNN (same judge design as quality_study; trained on a held-out slice
+     of the dataset), multi-seed with error bars. The real-vs-real floor
+     row uses freshly generated images (seeds disjoint from the dataset).
 
 Everything is deterministic given the seeds. Output: one JSON line per
 config (+ a VAE sanity row), optionally written to --jsonl.
@@ -42,18 +49,51 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from benchmarks.quality_study import (build_classifier, make_sampler,
-                                      train_classifier)
+from benchmarks.quality_study import make_sampler
 
 
 # ---------------------------------------------------------------------------
-# VAE training on the procedural dataset
+# finite pixel dataset (built once; the renderer is single-core host numpy)
 # ---------------------------------------------------------------------------
 
-def train_vae(*, image_size=256, steps=1500, batch=16, lr=1e-4,
+def build_pixel_dataset(num, image_size, *, seed=0, gen_batch=256,
+                        log_every=20):
+    """(pixels uint8 (N, 3, H, W), labels (N,)) — rendered once, stored
+    quantized (the reference's inputs are uint8 JPEGs too). Dataset seeds
+    live in [6_000_000, 6_000_000 + num/gen_batch): disjoint from every
+    stream in quality_study.py and from this study's eval splits."""
+    from fast_dit_tpu.data.synthetic import NUM_CLASSES, synth_batch
+
+    labels = np.arange(num, dtype=np.int64) % NUM_CLASSES
+    labels = np.random.default_rng(
+        np.random.SeedSequence([0x1A7E, seed])).permutation(labels)
+    pixels = np.empty((num, 3, image_size, image_size), np.uint8)
+    t0 = time.perf_counter()
+    nb = (num + gen_batch - 1) // gen_batch
+    for b in range(nb):
+        lo, hi = b * gen_batch, min(num, (b + 1) * gen_batch)
+        x = synth_batch(labels[lo:hi], seed=6_000_000 + b,
+                        image_size=image_size)
+        pixels[lo:hi] = np.clip((x + 1.0) * 127.5, 0, 255).astype(np.uint8)
+        if log_every and ((b + 1) % log_every == 0 or b == nb - 1):
+            print(f"[data] {hi}/{num} images "
+                  f"({hi / (time.perf_counter() - t0):.0f} img/s)", flush=True)
+    return pixels, labels
+
+
+def _dequant(u8):
+    return u8.astype(np.float32) / 127.5 - 1.0
+
+
+# ---------------------------------------------------------------------------
+# VAE training on the cached dataset
+# ---------------------------------------------------------------------------
+
+def train_vae(pixels, *, steps=1500, batch=16, lr=1e-4,
               kl_weight=1e-6, channels=(32, 64, 128, 128), seed=0,
-              log_every=200):
-    """Train the in-repo AutoencoderKL (small config) on procedural images.
+              log_every=200, holdout=64):
+    """Train the in-repo AutoencoderKL (small config) on the cached dataset
+    (first `len(pixels) - holdout` images; the tail is the recon holdout).
 
     Returns (vae_module, params, metrics) with metrics holding held-out
     recon PSNR and the empirical latent scale 1/std (the SD-VAE's 0.18215 is
@@ -61,9 +101,10 @@ def train_vae(*, image_size=256, steps=1500, batch=16, lr=1e-4,
     import jax
     import jax.numpy as jnp
     import optax
-    from fast_dit_tpu.data.synthetic import NUM_CLASSES, synth_batch
     from fast_dit_tpu.models.vae import AutoencoderKL, DiagonalGaussian
 
+    image_size = pixels.shape[-1]
+    n_train = len(pixels) - holdout
     vae = AutoencoderKL(block_out_channels=tuple(channels))
     params = vae.init(jax.random.PRNGKey(seed),
                       jnp.zeros((1, 3, image_size, image_size)),
@@ -92,10 +133,8 @@ def train_vae(*, image_size=256, steps=1500, batch=16, lr=1e-4,
     key = jax.random.PRNGKey(seed + 11)
     t0 = time.perf_counter()
     for i in range(steps):
-        y = rng.integers(0, NUM_CLASSES, batch)
-        # vae stream seeds in [6_000_000, +steps): disjoint from every other
-        # stream in quality_study.py
-        x = synth_batch(y, seed=6_000_000 + i, image_size=image_size)
+        idx = rng.integers(0, n_train, batch)
+        x = _dequant(pixels[idx])
         params, opt, mse, kl = step(params, opt, jnp.asarray(x),
                                     jax.random.fold_in(key, i))
         if log_every and ((i + 1) % log_every == 0 or i == 0):
@@ -104,8 +143,7 @@ def train_vae(*, image_size=256, steps=1500, batch=16, lr=1e-4,
                   flush=True)
 
     # held-out recon PSNR + latent statistics
-    yh = np.arange(64) % NUM_CLASSES
-    xh = jnp.asarray(synth_batch(yh, seed=6_500_000, image_size=image_size))
+    xh = jnp.asarray(_dequant(pixels[n_train:]))
 
     @jax.jit
     def encode_mean(p, x):
@@ -127,38 +165,52 @@ def train_vae(*, image_size=256, steps=1500, batch=16, lr=1e-4,
 
 
 # ---------------------------------------------------------------------------
-# latent-DiT training
+# feature extraction + latent-DiT training (the reference's exact contract:
+# encode the dataset once, epoch over the cached scaled latents)
 # ---------------------------------------------------------------------------
 
-def train_latent_dit(vae, vae_params, lat_scale, *, model_name="DiT-S/2",
-                     image_size=256, steps=6000, batch=256, lr=1e-4,
-                     ema_decay=0.999, seed=0, log_every=500):
-    """Train DiT on VAE latents — the reference's train.py data contract
-    (pre-extracted scaled latents), with the encode fused into the same
-    device step instead of a .npy detour."""
+def encode_dataset(vae, vae_params, pixels, lat_scale, *, batch=64, seed=0):
+    """One posterior sample per image, scaled — this study's
+    `extract_features.py` (reference extract_features.py:166-171)."""
     import jax
     import jax.numpy as jnp
-    from fast_dit_tpu.data.synthetic import NUM_CLASSES, synth_batch
+    from fast_dit_tpu.models.vae import DiagonalGaussian
+
+    @jax.jit
+    def encode(x, rng):
+        moments = vae.apply(vae_params, x, method=vae.encode_moments)
+        dist = DiagonalGaussian(jnp.transpose(moments, (0, 2, 3, 1)))
+        z = jnp.transpose(dist.sample(rng), (0, 3, 1, 2))
+        return z * lat_scale  # reference extract_features.py:168 semantics
+
+    key = jax.random.PRNGKey(1234 + seed)
+    out = []
+    for i in range(0, len(pixels), batch):
+        x = jnp.asarray(_dequant(pixels[i: i + batch]))
+        out.append(np.asarray(encode(x, jax.random.fold_in(key, i))))
+    return np.concatenate(out)
+
+
+def train_latent_dit(latents, labels, *, model_name="DiT-S/2",
+                     steps=6000, batch=256, lr=1e-4,
+                     ema_decay=0.999, seed=0, log_every=500, n_train=None):
+    """Train DiT on the cached scaled latents — the reference's train.py
+    data contract (pre-extracted .npy features, epoched)."""
+    import jax
+    import jax.numpy as jnp
+    from fast_dit_tpu.data.synthetic import NUM_CLASSES
     from fast_dit_tpu.diffusion import create_diffusion
     from fast_dit_tpu.models import DiT_models
-    from fast_dit_tpu.models.vae import DiagonalGaussian
     from fast_dit_tpu.train.train_lib import create_train_state, make_train_step
 
-    latent = image_size // 8
+    n_train = len(latents) if n_train is None else n_train
     model = DiT_models[model_name](
-        input_size=latent, in_channels=4, num_classes=NUM_CLASSES,
+        input_size=latents.shape[-1], in_channels=4, num_classes=NUM_CLASSES,
         dtype=jnp.bfloat16, remat=True)
     diffusion = create_diffusion(timestep_respacing="")
     state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr)
     train_step = make_train_step(model, diffusion.schedule, tx,
                                  ema_decay=ema_decay)
-
-    @jax.jit
-    def encode(vp, x, rng):
-        moments = vae.apply(vp, x, method=vae.encode_moments)
-        dist = DiagonalGaussian(jnp.transpose(moments, (0, 2, 3, 1)))
-        z = jnp.transpose(dist.sample(rng), (0, 3, 1, 2))
-        return z * lat_scale  # reference extract_features.py:168 semantics
 
     step_fn = jax.jit(train_step, donate_argnums=(0,))
     rng = np.random.default_rng(seed)
@@ -166,17 +218,71 @@ def train_latent_dit(vae, vae_params, lat_scale, *, model_name="DiT-S/2",
     metrics = None
     t0 = time.perf_counter()
     for i in range(steps):
-        y = rng.integers(0, NUM_CLASSES, batch)
-        x = synth_batch(y, seed=i, image_size=image_size)
-        z = encode(vae_params, jnp.asarray(x), jax.random.fold_in(key, 2 * i))
-        state, metrics = step_fn(state, {"x": z, "y": jnp.asarray(y)},
-                                 jax.random.fold_in(key, 2 * i + 1))
+        idx = rng.integers(0, n_train, batch)
+        state, metrics = step_fn(
+            state, {"x": jnp.asarray(latents[idx]),
+                    "y": jnp.asarray(labels[idx])},
+            jax.random.fold_in(key, 2 * i + 1))
         if log_every and ((i + 1) % log_every == 0 or i == 0):
             dt = time.perf_counter() - t0
             print(f"[latent-dit] step {i + 1}/{steps} loss "
                   f"{float(metrics['loss']):.4f} ({(i + 1) / dt:.2f} steps/s)",
                   flush=True)
     return model, jax.device_get(state.ema), float(metrics["loss"])
+
+
+# ---------------------------------------------------------------------------
+# judge CNN on the cached dataset (fresh per-step rendering at 256² costs
+# ~3 s/batch on this single-core host — see module doc)
+# ---------------------------------------------------------------------------
+
+def train_judge_cached(pixels, labels, *, steps=800, batch=64, lr=1e-3,
+                       seed=0, holdout=1024, log_every=200):
+    """Same judge design as quality_study.train_classifier, trained from the
+    cached pixels; the LAST `holdout` images measure generalization."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from benchmarks.quality_study import build_classifier
+
+    n_train = len(pixels) - holdout
+    clf = build_classifier()
+    image_size = pixels.shape[-1]
+    params = clf.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, 3, image_size, image_size)))
+    tx = optax.adam(lr)
+    opt = tx.init(params)
+
+    def loss_fn(p, x, y):
+        logits, _ = clf.apply(p, x)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits, y).mean()
+
+    @jax.jit
+    def step(p, opt, x, y):
+        loss, g = jax.value_and_grad(loss_fn)(p, x, y)
+        updates, opt = tx.update(g, opt, p)
+        return optax.apply_updates(p, updates), opt, loss
+
+    rng = np.random.default_rng(1000 + seed)
+    for i in range(steps):
+        idx = rng.integers(0, n_train, batch)
+        params, opt, loss = step(params, opt,
+                                 jnp.asarray(_dequant(pixels[idx])),
+                                 jnp.asarray(labels[idx]))
+        if log_every and ((i + 1) % log_every == 0 or i == 0):
+            print(f"[clf] step {i + 1}/{steps} loss {float(loss):.4f}",
+                  flush=True)
+
+    @jax.jit
+    def preds(p, x):
+        return jnp.argmax(clf.apply(p, x)[0], -1)
+
+    correct = 0
+    for i in range(n_train, len(pixels), batch):
+        ph = preds(params, jnp.asarray(_dequant(pixels[i: i + batch])))
+        correct += int((np.asarray(ph) == labels[i: i + batch]).sum())
+    return params, clf.apply, correct / holdout
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +422,11 @@ def main():
                     help="pixel resolution; latents are size/8 (256 -> the "
                          "reference 32²-latent contract, 512 -> 64² latents"
                          " / 1024 tokens)")
+    ap.add_argument("--dataset-size", type=int, default=25600,
+                    help="finite pixel dataset rendered once (~12 s per 256 "
+                         "images at 256² on this single-core host); the DiT "
+                         "epochs over its cached latents exactly like the "
+                         "reference's feature pipeline")
     ap.add_argument("--vae-steps", type=int, default=1500)
     ap.add_argument("--vae-batch", type=int, default=16)
     ap.add_argument("--dit-steps", type=int, default=6000)
@@ -330,20 +441,28 @@ def main():
     ap.add_argument("--grid-dir", default=None)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
+    holdout = min(1024, args.dataset_size // 4)
+
+    pixels, labels = build_pixel_dataset(
+        args.dataset_size, args.image_size, seed=args.seed)
 
     vae, vae_params, vmet = train_vae(
-        image_size=args.image_size, steps=args.vae_steps,
+        pixels[: len(pixels) - holdout], steps=args.vae_steps,
         batch=args.vae_batch, seed=args.seed)
     print(json.dumps({"vae": vmet}), flush=True)
 
-    clf_params, clf_apply, clf_acc = train_classifier(
-        image_size=args.image_size, steps=args.clf_steps,
-        batch=min(64, args.dit_batch), seed=args.seed)
+    clf_params, clf_apply, clf_acc = train_judge_cached(
+        pixels, labels, steps=args.clf_steps, holdout=holdout,
+        seed=args.seed)
     print(json.dumps({"judge_holdout_acc": clf_acc}), flush=True)
 
+    latents = encode_dataset(vae, vae_params, pixels, vmet["latent_scale"],
+                             batch=args.eval_batch, seed=args.seed)
+    print(json.dumps({"latents": list(latents.shape)}), flush=True)
+
     model, ema, loss = train_latent_dit(
-        vae, vae_params, vmet["latent_scale"], image_size=args.image_size,
-        steps=args.dit_steps, batch=args.dit_batch, seed=args.seed)
+        latents, labels, steps=args.dit_steps, batch=args.dit_batch,
+        seed=args.seed, n_train=len(latents) - holdout)
     print(json.dumps({"latent_dit_final_loss": round(loss, 4)}), flush=True)
 
     rows = evaluate(model, ema, vae, vae_params, vmet["latent_scale"],

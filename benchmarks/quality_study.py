@@ -419,6 +419,12 @@ def main():
     ap.add_argument("--clf-steps", type=int, default=800)
     ap.add_argument("--num-eval", type=int, default=2048)
     ap.add_argument("--eval-batch", type=int, default=256)
+    ap.add_argument("--config-set", default="default",
+                    choices=["default", "exact"],
+                    help="'exact' evaluates only the exact samplers "
+                         "(ddpm250/ddim50/dpm25, no approximations) — enough "
+                         "to compare TRAINING variants (e.g. --optimizer "
+                         "factored) without re-running the 22-config grid")
     ap.add_argument("--eval-seeds", type=int, default=3,
                     help="independent noise seeds per config; rows report "
                          "mean +/- std (error bars on the quality ordering)")
@@ -474,11 +480,15 @@ def main():
         with open(clf_path, "rb") as f:
             clf_params = serialization.from_bytes(clf_t, f.read())
         print(json.dumps({"meta": meta}), flush=True)
+        configs = None
+        if args.config_set == "exact":
+            configs = [("ddpm", 250, 1, 1.5), ("ddim", 50, 1, 1.5),
+                       ("dpm", 25, 1, 1.5)]
         evaluate_configs(model, ema, clf_params, clf.apply,
                          image_size=meta["image_size"],
                          num_eval=args.num_eval, batch=args.eval_batch,
                          grid_dir=args.grid_dir, jsonl_path=args.jsonl,
-                         eval_seeds=args.eval_seeds)
+                         eval_seeds=args.eval_seeds, configs=configs)
 
 
 if __name__ == "__main__":

@@ -4,6 +4,8 @@ value_range=(-1, 1))` call at sample.py:68)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from PIL import Image
 
@@ -41,4 +43,7 @@ def save_image(img_nchw: np.ndarray, path: str, nrow: int = 4,
     grid = make_grid(np.asarray(img_nchw), nrow=nrow, value_range=value_range)
     if grid.shape[-1] == 1:
         grid = grid[..., 0]
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     Image.fromarray(grid).save(path)

@@ -105,3 +105,43 @@ def test_quality_study_plumbing_end_to_end():
         assert 0.0 <= r["cls_acc"] <= 1.0
     # untrained-ish model must score far worse than the real floor
     assert rows[1]["fid"] > rows[0]["fid"]
+
+
+@pytest.mark.slow
+def test_latent_pipeline_plumbing_end_to_end():
+    # toy-scale latent chain: cached pixel dataset -> tiny VAE -> encode ->
+    # latent DiT -> sample -> decode -> judge (CPU; minutes). Mirrors
+    # benchmarks/latent_pipeline_study.py main() at smoke scale.
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+    from benchmarks.latent_pipeline_study import (
+        build_pixel_dataset, encode_dataset, evaluate, train_judge_cached,
+        train_latent_dit, train_vae)
+
+    pixels, labels = build_pixel_dataset(64, 32, seed=0, gen_batch=32,
+                                         log_every=0)
+    assert pixels.shape == (64, 3, 32, 32) and pixels.dtype == np.uint8
+
+    vae, vp, vmet = train_vae(pixels[:48], steps=2, batch=8, holdout=8,
+                              channels=(32, 32, 32, 32), log_every=0)
+    assert np.isfinite(vmet["recon_psnr_db"])
+    assert vmet["latent_hw"] == 4  # 32 / f8
+
+    clf_params, clf_apply, acc = train_judge_cached(
+        pixels, labels, steps=5, batch=16, holdout=16, log_every=0)
+    assert 0.0 <= acc <= 1.0
+
+    latents = encode_dataset(vae, vp, pixels, vmet["latent_scale"], batch=16)
+    assert latents.shape == (64, 4, 4, 4)
+
+    model, ema, loss = train_latent_dit(latents, labels, steps=2, batch=16,
+                                        log_every=0, n_train=48)
+    assert np.isfinite(loss)
+
+    rows = evaluate(model, ema, vae, vp, vmet["latent_scale"], clf_params,
+                    clf_apply, image_size=32, num_eval=16, batch=8,
+                    eval_seeds=1, configs=[("ddim", 4, 1, 1.5)])
+    assert rows[0]["config"] == "real-vs-real (floor)"
+    assert len(rows) == 2
+    for r in rows:
+        assert np.isfinite(r["fid"]) and 0.0 <= r["cls_acc"] <= 1.0
