@@ -117,6 +117,9 @@ def main():
             if sampler == "dpm":
                 return diffusion.dpm_solver_sample_loop(
                     apply, zz.shape, noise=zz, clip_denoised=False)[:n]
+            if sampler == "unipc":
+                return diffusion.unipc_sample_loop(
+                    apply, zz.shape, noise=zz, clip_denoised=False)[:n]
             if interval == 1:
                 loop = (diffusion.p_sample_loop if sampler == "ddpm"
                         else diffusion.ddim_sample_loop)
@@ -159,8 +162,9 @@ def main():
     own_exact = {}
     for sampler, steps in configs:
         for k in intervals:
-            if sampler == "dpm" and k > 1:
-                continue  # dpm IS the honest fast path; no cache composition
+            if sampler in ("dpm", "unipc") and k > 1:
+                continue  # dpm/unipc ARE the honest fast path; no cache
+                # composition
             variants = [None]
             if args.cfg_interval is not None:
                 variants.append(tuple(args.cfg_interval))

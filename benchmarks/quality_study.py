@@ -179,6 +179,9 @@ def default_configs():
             + [("ddim", 100, 1, 1.5), ("ddim", 50, 1, 1.5),
                ("ddim", 50, 2, 1.5), ("ddim", 50, 4, 1.5),
                ("dpm", 25, 1, 1.5), ("dpm", 15, 1, 1.5), ("dpm", 10, 1, 1.5),
+               # UniPC: DPM++(2M)'s budget + reused-evaluation corrector —
+               # does the higher effective order show up at 10-25 steps?
+               ("unipc", 25, 1, 1.5), ("unipc", 10, 1, 1.5),
                ("ddpm", 250, 1, 1.0),
                # token merging (ops/tome.py): attention-only (default),
                # composed with cache, and the rejected +mlp mode
@@ -242,6 +245,9 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(
+                apply, z.shape, noise=z, clip_denoised=clip_denoised)
+        elif sampler == "unipc":
+            out = diffusion.unipc_sample_loop(
                 apply, z.shape, noise=z, clip_denoised=clip_denoised)
         elif interval == 1:
             loop = (diffusion.p_sample_loop if sampler == "ddpm"

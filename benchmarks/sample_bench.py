@@ -47,8 +47,9 @@ def main():
     ap.add_argument("--quantize", default=None, choices=[None, "w8a8"],
                     help="int8 block projections (2x MXU peak; approximate)")
     ap.add_argument("--sampler", default="ddpm",
-                    choices=["ddpm", "ddim", "dpm"],
-                    help="dpm = DPM-Solver++(2M): pair with small "
+                    choices=["ddpm", "ddim", "dpm", "unipc"],
+                    help="dpm = DPM-Solver++(2M), unipc = UniPC "
+                         "predictor-corrector: pair with small "
                          "--num-sampling-steps (10-25)")
     args = ap.parse_args()
 
@@ -112,6 +113,9 @@ def main():
         elif args.sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(apply, z.shape, noise=z,
                                                    clip_denoised=False)
+        elif args.sampler == "unipc":
+            out = diffusion.unipc_sample_loop(apply, z.shape, noise=z,
+                                              clip_denoised=False)
         elif args.sampler == "ddim":
             out = diffusion.ddim_sample_loop(apply, z.shape, noise=z, rng=rng,
                                              clip_denoised=False)

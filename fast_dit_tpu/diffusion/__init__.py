@@ -39,7 +39,8 @@ from .guidance_interval import (guidance_interval_cached_fns,
 from .respace import space_timesteps
 from .sampling import (ddim_reverse_sample_loop, ddim_sample_loop,
                        ddim_sample_loop_cached, dpm_solver_sample_loop,
-                       p_sample_loop, p_sample_loop_cached)
+                       p_sample_loop, p_sample_loop_cached,
+                       unipc_sample_loop)
 from .schedule import (
     DiffusionSchedule,
     LossType,
@@ -205,6 +206,23 @@ class Diffusion:
         return dpm_solver_sample_loop(
             self._wrap(model_fn, model_kwargs), shape, self.schedule,
             rng=rng, noise=noise, order=order, clip_denoised=clip_denoised,
+            denoised_fn=denoised_fn,
+            return_intermediates=return_intermediates, dtype=dtype,
+        )
+
+    def unipc_sample_loop(self, model_fn, shape, *, rng=None, noise=None,
+                          order=2, corrector=True, variant="bh2",
+                          clip_denoised=True, denoised_fn=None,
+                          model_kwargs=None, return_intermediates=False,
+                          dtype=jnp.float32):
+        """UniPC predictor-corrector sampling (sampling.py) — same
+        honest-compute budget as DPM-Solver++(2M) (one model call per step)
+        but the corrector reuses each step's evaluation to raise the
+        effective order; `corrector=False, variant="bh2"` IS DPM++(2M)."""
+        return unipc_sample_loop(
+            self._wrap(model_fn, model_kwargs), shape, self.schedule,
+            rng=rng, noise=noise, order=order, corrector=corrector,
+            variant=variant, clip_denoised=clip_denoised,
             denoised_fn=denoised_fn,
             return_intermediates=return_intermediates, dtype=dtype,
         )

@@ -115,9 +115,10 @@ def main(args):
         if args.cache_interval > 1:
             # FORA-style layer cache: full model every k-th step, cached
             # adaLN-gate-only steps in between (diffusion/sampling.py)
-            assert args.sampler != "dpm", (
-                "--cache-interval composes with ddpm/ddim; dpm is already "
-                "the honest-compute fast path (use fewer steps instead)")
+            assert args.sampler not in ("dpm", "unipc"), (
+                "--cache-interval composes with ddpm/ddim; dpm/unipc are "
+                "already the honest-compute fast path (use fewer steps "
+                "instead)")
             forced = None
             if args.cfg_interval is not None:
                 assert use_cfg, "--cfg-interval requires cfg-scale > 1"
@@ -144,6 +145,11 @@ def main(args):
             # DPM-Solver++(2M): deterministic 2nd-order multistep — pair
             # with a small --num-sampling-steps (10-25)
             samples = diffusion.dpm_solver_sample_loop(
+                apply, z.shape, noise=z, clip_denoised=False)
+        elif args.sampler == "unipc":
+            # UniPC: DPM++(2M)'s budget + a reused-evaluation corrector —
+            # the strongest honest-compute choice at <= 10 steps
+            samples = diffusion.unipc_sample_loop(
                 apply, z.shape, noise=z, clip_denoised=False)
         else:
             loop = (diffusion.p_sample_loop if args.sampler == "ddpm"
@@ -224,11 +230,13 @@ def parse_args():
                              "v5e+; a precision trade like bf16 -- see "
                              "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm"],
+                        choices=["ddpm", "ddim", "dpm", "unipc"],
                         help="ddim pairs naturally with --num-sampling-steps "
                              "via the ddimN respacing; dpm = DPM-Solver++"
                              "(2M), a 2nd-order deterministic solver for "
-                             "small step counts (10-25)")
+                             "small step counts (10-25); unipc = UniPC "
+                             "(same budget, reused-evaluation corrector, "
+                             "strongest at <= 10 steps)")
     return parser.parse_args()
 
 

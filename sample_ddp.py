@@ -159,9 +159,10 @@ def main(args):
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
         if args.cache_interval > 1:
-            assert sampler_kind != "dpm", (
-                "--cache-interval composes with ddpm/ddim; dpm is already "
-                "the honest-compute fast path (use fewer steps instead)")
+            assert sampler_kind not in ("dpm", "unipc"), (
+                "--cache-interval composes with ddpm/ddim; dpm/unipc are "
+                "already the honest-compute fast path (use fewer steps "
+                "instead)")
             forced = None
             if args.cfg_interval is not None:
                 assert using_cfg, "--cfg-interval requires cfg-scale > 1"
@@ -185,6 +186,9 @@ def main(args):
                 rng=jax.random.fold_in(rng, 2), clip_denoised=False)
         elif sampler_kind == "dpm":
             samples = diffusion.dpm_solver_sample_loop(
+                apply, z.shape, noise=z, clip_denoised=False)
+        elif sampler_kind == "unipc":
+            samples = diffusion.unipc_sample_loop(
                 apply, z.shape, noise=z, clip_denoised=False)
         else:
             loop = (diffusion.p_sample_loop if sampler_kind == "ddpm"
@@ -285,9 +289,11 @@ def build_parser():
                              "v5e+; a precision trade like bf16 -- see "
                              "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm"],
+                        choices=["ddpm", "ddim", "dpm", "unipc"],
                         help="dpm = DPM-Solver++(2M), deterministic "
-                             "2nd-order; pair with small step counts")
+                             "2nd-order; unipc = UniPC predictor-corrector "
+                             "(same budget, strongest at <= 10 steps); "
+                             "pair both with small step counts")
     return parser
 
 

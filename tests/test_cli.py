@@ -39,9 +39,10 @@ def test_train_cli_synthetic(tmp_path):
 
 
 @pytest.mark.slow
-def test_sample_cli_random(tmp_path):
+@pytest.mark.parametrize("sampler", ["ddpm", "unipc"])
+def test_sample_cli_random(tmp_path, sampler):
     r = run_cli("sample.py", "--model", "DiT-S/8", "--num-sampling-steps", "4",
-                "--ckpt", "random", "--seed", "1")
+                "--ckpt", "random", "--seed", "1", "--sampler", sampler)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(os.path.join(REPO, "sample.npy"))
     lat = np.load(os.path.join(REPO, "sample.npy"))
