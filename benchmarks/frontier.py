@@ -93,9 +93,12 @@ def main():
     z = jax.random.normal(jax.random.fold_in(rng, 0), (2 * n, 4, latent, latent))
 
     def run_config(sampler, steps, interval, tome_ratio=0.0,
-                   cfg_interval=None):
-        diffusion = create_diffusion(
-            f"ddim{steps}" if sampler == "ddim" else str(steps))
+                   cfg_interval=None, spacing="uniform"):
+        if spacing == "karras":
+            diffusion = create_diffusion(f"karras{steps}")
+        else:
+            diffusion = create_diffusion(
+                f"ddim{steps}" if sampler == "ddim" else str(steps))
         mdl = (model.clone(tome_ratio=tome_ratio, tome_mlp=args.tome_mlp)
                if tome_ratio else model)
 
@@ -154,13 +157,18 @@ def main():
     print(json.dumps({"weights": weights, "model": args.model,
                       "image_size": args.image_size, "batch": n,
                       "cfg": args.cfg_scale, "dtype": args.dtype}))
-    configs = [(s.split(":")[0], int(s.split(":")[1]))
-               for s in args.samplers.split(",")]
+    # sampler spec: "name:steps[:karras]" (karras = Karras sigma spacing
+    # of the retained timesteps, respace.karras_timesteps)
+    configs = []
+    for s in args.samplers.split(","):
+        parts = s.split(":")
+        configs.append((parts[0], int(parts[1]),
+                        parts[2] if len(parts) > 2 else "uniform"))
     intervals = [int(s) for s in args.intervals.split(",")]
 
     ref250 = None
     own_exact = {}
-    for sampler, steps in configs:
+    for sampler, steps, spacing in configs:
         for k in intervals:
             if sampler in ("dpm", "unipc") and k > 1:
                 continue  # dpm/unipc ARE the honest fast path; no cache
@@ -169,9 +177,10 @@ def main():
             if args.cfg_interval is not None:
                 variants.append(tuple(args.cfg_interval))
             for ci in variants:
-                out, p50 = run_config(sampler, steps, k, cfg_interval=ci)
+                out, p50 = run_config(sampler, steps, k, cfg_interval=ci,
+                                      spacing=spacing)
                 if k == 1 and ci is None:
-                    own_exact[(sampler, steps)] = out
+                    own_exact[(sampler, steps, spacing)] = out
                     if ref250 is None and sampler == "ddpm" and steps == 250:
                         ref250 = out
                 row = {
@@ -179,8 +188,10 @@ def main():
                     "img_per_sec": round(n / p50, 4),
                     "p50_latency_sec": round(p50, 3),
                     "rel_l2_vs_own_exact": round(
-                        rel_l2(out, own_exact[(sampler, steps)]), 5),
+                        rel_l2(out, own_exact[(sampler, steps, spacing)]), 5),
                 }
+                if spacing != "uniform":
+                    row["time_spacing"] = spacing
                 if ci is not None:
                     row["cfg_interval"] = list(ci)
                 if ref250 is not None:

@@ -182,6 +182,10 @@ def default_configs():
                # UniPC: DPM++(2M)'s budget + reused-evaluation corrector —
                # does the higher effective order show up at 10-25 steps?
                ("unipc", 25, 1, 1.5), ("unipc", 10, 1, 1.5),
+               # Karras sigma spacing for the few-step solvers (2.5-7x lower
+               # ODE error at <= 10 steps on the analytic probe)
+               ("dpm", 10, 1, 1.5, 0.0, False, "uniform", None, "karras"),
+               ("unipc", 10, 1, 1.5, 0.0, False, "uniform", None, "karras"),
                ("ddpm", 250, 1, 1.0),
                # token merging (ops/tome.py): attention-only (default),
                # composed with cache, and the rejected +mlp mode
@@ -206,8 +210,8 @@ def default_configs():
 
 def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
                  tome_ratio=0.0, tome_mlp=False, cache_schedule="uniform",
-                 cfg_interval=None, *, image_size=None, batch,
-                 clip_denoised=True):
+                 cfg_interval=None, time_spacing="uniform", *,
+                 image_size=None, batch, clip_denoised=True):
     """jitted (labels, rng) -> (batch, C, H, W) samples.
 
     Shapes come from the model itself (model.in_channels x model.input_size²)
@@ -221,8 +225,12 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
     if tome_ratio > 0:
         model = model.clone(tome_ratio=tome_ratio,  # no params change
                             tome_mlp=tome_mlp)
-    diffusion = create_diffusion(
-        f"ddim{steps}" if sampler == "ddim" else str(steps))
+    if time_spacing == "karras":
+        assert sampler in ("dpm", "unipc"), sampler
+        diffusion = create_diffusion(f"karras{steps}")
+    else:
+        diffusion = create_diffusion(
+            f"ddim{steps}" if sampler == "ddim" else str(steps))
     use_cfg = cfg_scale > 1.0
     size = model.input_size
 
@@ -336,9 +344,10 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
         tome_mlp = cfg_row[5] if len(cfg_row) > 5 else False
         csched = cfg_row[6] if len(cfg_row) > 6 else "uniform"
         band = cfg_row[7] if len(cfg_row) > 7 else None
+        spacing = cfg_row[8] if len(cfg_row) > 8 else "uniform"
         run = make_sampler(model, ema, sampler, steps, interval, cfg, tome,
-                           tome_mlp, csched, band, image_size=image_size,
-                           batch=batch)
+                           tome_mlp, csched, band, spacing,
+                           image_size=image_size, batch=batch)
         fids, kids, accs, times = [], [], [], []
         grid_images = None
         for s in range(eval_seeds):
@@ -366,6 +375,7 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
                 + (f" tome={tome}{'+mlp' if tome_mlp else ''}"
                    if tome > 0 else "")
                 + (f" band={band[0]}-{band[1]}" if band is not None else "")
+                + (" karras" if spacing == "karras" else "")
                 + (" no-cfg" if cfg <= 1.0 else ""))
         mean = lambda v: float(np.mean(v))
         std = lambda v: float(np.std(v))
@@ -379,6 +389,7 @@ def evaluate_configs(model, ema, clf_params, clf_apply, *, image_size=32,
             "kid": round(mean(kids), 6), "kid_std": round(std(kids), 6),
             "cls_acc": round(mean(accs), 4),
             "cls_acc_std": round(std(accs), 4),
+            "time_spacing": spacing,
             "img_per_sec": round(batch / steady, 2),
             "num_eval": num_eval, "eval_seeds": eval_seeds,
         }

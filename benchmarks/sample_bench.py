@@ -51,6 +51,10 @@ def main():
                     help="dpm = DPM-Solver++(2M), unipc = UniPC "
                          "predictor-corrector: pair with small "
                          "--num-sampling-steps (10-25)")
+    ap.add_argument("--time-spacing", default="uniform",
+                    choices=["uniform", "karras"],
+                    help="karras = retained timesteps at Karras sigma "
+                         "positions (few-step accuracy win)")
     args = ap.parse_args()
 
     from fast_dit_tpu.diffusion import create_diffusion
@@ -66,7 +70,9 @@ def main():
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((1, 4, latent, latent)),
                         jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
-    diffusion = create_diffusion(str(args.num_sampling_steps))
+    diffusion = create_diffusion(
+        f"karras{args.num_sampling_steps}" if args.time_spacing == "karras"
+        else str(args.num_sampling_steps))
     n = args.batch
     use_cfg = args.cfg_scale > 1.0
     y = jnp.concatenate([jnp.arange(n) % 1000, jnp.full((n,), 1000)]) if use_cfg \

@@ -17,6 +17,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import gaussian, sampling
 from .gaussian import (
@@ -36,7 +37,7 @@ from .gaussian import (
 from .guidance_interval import (guidance_interval_cached_fns,
                                 guidance_interval_fn, guidance_interval_mask,
                                 guided_steps_korder)
-from .respace import space_timesteps
+from .respace import karras_timesteps, space_timesteps
 from .sampling import (ddim_reverse_sample_loop, ddim_sample_loop,
                        ddim_sample_loop_cached, dpm_solver_sample_loop,
                        p_sample_loop, p_sample_loop_cached,
@@ -66,6 +67,7 @@ __all__ = [
     "VarType",
     "LossType",
     "space_timesteps",
+    "karras_timesteps",
     "get_named_beta_schedule",
     "get_beta_schedule",
     "betas_for_alpha_bar",
@@ -258,6 +260,16 @@ def create_diffusion(
         loss_type = LossType.MSE
     if timestep_respacing is None or timestep_respacing == "":
         timestep_respacing = [diffusion_steps]
+    if (isinstance(timestep_respacing, str)
+            and timestep_respacing.startswith("karras")):
+        # beyond-reference "karrasN": retained steps at Karras sigma
+        # positions (needs the betas, so dispatched here rather than in
+        # the schedule-blind space_timesteps DSL)
+        alphas_cumprod = np.cumprod(1.0 - np.asarray(betas, np.float64))
+        use_timesteps = karras_timesteps(alphas_cumprod,
+                                         int(timestep_respacing[6:]))
+    else:
+        use_timesteps = space_timesteps(diffusion_steps, timestep_respacing)
     schedule = DiffusionSchedule.create(
         betas,
         mean_type=MeanType.EPSILON if not predict_xstart else MeanType.START_X,
@@ -267,6 +279,6 @@ def create_diffusion(
             else VarType.LEARNED_RANGE
         ),
         loss_type=loss_type,
-        use_timesteps=space_timesteps(diffusion_steps, timestep_respacing),
+        use_timesteps=use_timesteps,
     )
     return Diffusion(schedule)
