@@ -34,6 +34,8 @@ from .gaussian import (
     training_losses,
     vb_terms_bpd,
 )
+from .flow import (FLOW_PATHS, flow_path_coeffs, flow_reverse_loop,
+                   flow_sample_loop, flow_training_losses)
 from .guidance_interval import (guidance_interval_cached_fns,
                                 guidance_interval_fn, guidance_interval_mask,
                                 guided_steps_korder)
@@ -71,6 +73,11 @@ __all__ = [
     "get_named_beta_schedule",
     "get_beta_schedule",
     "betas_for_alpha_bar",
+    "FLOW_PATHS",
+    "flow_path_coeffs",
+    "flow_training_losses",
+    "flow_sample_loop",
+    "flow_reverse_loop",
     "guidance_interval_fn",
     "guidance_interval_mask",
     "guidance_interval_cached_fns",

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
+from ..diffusion.flow import flow_training_losses
 from ..diffusion.gaussian import training_losses
 from ..diffusion.schedule import DiffusionSchedule
 from ..ops.fused_update import (FusedAdamWEmaState, fused_adamw_ema_apply,
@@ -127,8 +128,17 @@ def make_train_step(
     model_call: Optional[Callable] = None,
     lr: float = 1e-4,
     weight_decay: float = 0.0,
+    objective: str = "eps",
+    flow_path: str = "linear",
 ) -> Callable:
     """Build `train_step(state, batch, rng) -> (state, metrics)`.
+
+    `objective="flow"` trains the SiT-family velocity-matching loss
+    (`diffusion/flow.py`) instead of the DDPM eps/learned-sigma loss:
+    continuous t ~ U[0, 1) replaces the discrete timestep draw, the model
+    must be built with `learn_sigma=False`, and `schedule` is unused. The
+    loss-aware timestep resampler is discrete-time machinery and does not
+    apply.
 
     batch: {"x": (B, C, H, W) latents, "y": (B,) int labels, ...extra
     conditioning}. With `grad_accum > 1` the batch is split into microbatches
@@ -149,13 +159,17 @@ def make_train_step(
                            rngs={"label_drop": drop_rng})
 
     apply_model = model_call if model_call is not None else default_model_call
+    assert objective in ("eps", "flow"), objective
 
     def loss_for(params, batch_mb, t, noise, weights, drop_rng):
         x = batch_mb["x"]
 
         def model_fn(x_t, t_model):
             return apply_model(params, x_t, t_model, batch_mb, drop_rng)
-        terms = training_losses(schedule, model_fn, x, t, noise)
+        if objective == "flow":
+            terms = flow_training_losses(model_fn, x, t, noise, path=flow_path)
+        else:
+            terms = training_losses(schedule, model_fn, x, t, noise)
         per_example = terms["loss"]
         loss = (weights * per_example).mean()
         metrics = {k: v.mean() for k, v in terms.items()}
@@ -165,7 +179,14 @@ def make_train_step(
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
         x = batch_mb["x"]
         B = x.shape[0]
-        if sampler_state is not None:
+        if objective == "flow":
+            assert sampler_state is None, (
+                "the loss-second-moment resampler is discrete-time "
+                "(reference timestep_sampler.py); flow matching draws "
+                "continuous t ~ U[0, 1)")
+            t = jax.random.uniform(rng_t, (B,), jnp.float32)
+            weights = jnp.ones((B,), x.dtype)
+        elif sampler_state is not None:
             t, weights = sample_timesteps(sampler_state, rng_t, B)
         else:
             t = jax.random.randint(rng_t, (B,), 0, schedule.num_timesteps)
@@ -234,13 +255,15 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
                             grad_accum: int = 1, log_grad_norm: bool = False,
                             model_call: Optional[Callable] = None,
                             lr: float = 1e-4, weight_decay: float = 0.0,
+                            objective: str = "eps", flow_path: str = "linear",
                             example_state: TrainState = None):
     """jit the train step over a mesh: batch sharded on 'data', state sharded
     per the DiT param rules, state buffers donated."""
     step_fn = make_train_step(model, schedule, tx, ema_decay=ema_decay,
                               grad_accum=grad_accum, log_grad_norm=log_grad_norm,
                               model_call=model_call, lr=lr,
-                              weight_decay=weight_decay)
+                              weight_decay=weight_decay, objective=objective,
+                              flow_path=flow_path)
     assert example_state is not None, "need an example state for sharding layout"
 
     rep = replicated_sharding(mesh)

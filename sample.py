@@ -70,8 +70,17 @@ def main(args):
     maybe_enable_compilation_cache()
     maybe_initialize_distributed()
     latent_size = args.image_size // 8
+    is_flow = args.sampler in ("euler", "heun")
+    if is_flow:
+        assert args.cache_interval <= 1 and args.cfg_interval is None, (
+            "--sampler euler/heun integrate the flow ODE "
+            "(diffusion/flow.py); the layer cache and the DDPM sigma band "
+            "are discrete-chain features")
     model = DiT_models[args.model](input_size=latent_size,
                                    num_classes=args.num_classes,
+                                   # flow checkpoints predict velocity: no
+                                   # learned-sigma channel doubling
+                                   learn_sigma=not is_flow,
                                    attn_backend=args.attn_backend,
                                    quant=args.quantize,
                                    tome_ratio=args.tome_ratio,
@@ -100,7 +109,11 @@ def main(args):
             z = jnp.concatenate([z, z], axis=0)
             cfg_apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
-                cfg_scale=args.cfg_scale, **kw)
+                cfg_scale=args.cfg_scale,
+                # flow CFG guides the full velocity; the 3-channel quirk is
+                # an eps-parameterization artifact (models/dit.py)
+                **({"guidance_channels": model.in_channels} if is_flow else {}),
+                **kw)
             cond_apply = lambda x, t, **kw: model.apply(params, x, t, y[:n], **kw)
             apply = cfg_apply
             if args.cfg_interval is not None and args.cache_interval <= 1:
@@ -143,6 +156,14 @@ def main(args):
                 refresh_schedule=args.cache_schedule,
                 force_refresh_mask=forced, noise=z,
                 rng=jax.random.fold_in(rng, 1), clip_denoised=False)
+        elif is_flow:
+            # probability-flow ODE for a flow-matching checkpoint
+            # (--objective flow in train.py); heun = 2nd order, 2 NFE/step
+            from fast_dit_tpu.diffusion import flow_sample_loop
+
+            samples = flow_sample_loop(
+                apply, z.shape, num_steps=args.num_sampling_steps,
+                method=args.sampler, noise=z)
         elif args.sampler == "dpm":
             # DPM-Solver++(2M): deterministic 2nd-order multistep — pair
             # with a small --num-sampling-steps (10-25)
@@ -232,13 +253,16 @@ def parse_args():
                              "v5e+; a precision trade like bf16 -- see "
                              "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm", "unipc"],
+                        choices=["ddpm", "ddim", "dpm", "unipc",
+                                 "euler", "heun"],
                         help="ddim pairs naturally with --num-sampling-steps "
                              "via the ddimN respacing; dpm = DPM-Solver++"
                              "(2M), a 2nd-order deterministic solver for "
                              "small step counts (10-25); unipc = UniPC "
                              "(same budget, reused-evaluation corrector, "
-                             "strongest at <= 10 steps)")
+                             "strongest at <= 10 steps); euler/heun "
+                             "integrate the flow ODE — only for checkpoints "
+                             "trained with --objective flow")
     parser.add_argument("--time-spacing", type=str, default="uniform",
                         choices=["uniform", "karras"],
                         help="placement of the retained timesteps: karras "

@@ -61,12 +61,19 @@ def main(args):
     dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     model = DiT_models[args.model](
         input_size=latent_size, num_classes=args.num_classes,
+        # flow matching predicts a velocity with in_channels channels — no
+        # learned-sigma head (diffusion/flow.py)
+        learn_sigma=args.objective == "eps",
         dtype=dtype, remat=not args.no_remat, remat_policy=args.remat_policy,
         attn_backend=args.attn_backend, scan_unroll=args.scan_unroll)
 
     mesh = create_mesh(model=args.tp)
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training process
     sampler_state = None
+    if args.objective == "flow":
+        assert args.schedule_sampler == "uniform", (
+            "--schedule-sampler is discrete-time machinery; flow matching "
+            "draws continuous t")
     if args.schedule_sampler != "uniform":
         from fast_dit_tpu.diffusion import create_named_schedule_sampler
         sampler_state = create_named_schedule_sampler(
@@ -88,6 +95,7 @@ def main(args):
     train_step, st_sh = make_sharded_train_step(
         model, diffusion.schedule, tx, mesh, tp=args.tp > 1, fsdp=args.fsdp,
         grad_accum=args.grad_accum, ema_decay=args.ema_decay, lr=args.lr,
+        objective=args.objective, flow_path=args.flow_path,
         example_state=state)
     state = jax.device_put(state, st_sh)
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
@@ -257,6 +265,18 @@ def parse_args():
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--scan-unroll", type=int, default=1,
                         help="lax.scan unroll factor over the block stack")
+    parser.add_argument("--objective", type=str, default="eps",
+                        choices=["eps", "flow"],
+                        help="training objective: 'eps' = the reference's "
+                             "DDPM eps/learned-sigma hybrid; 'flow' = "
+                             "SiT-style velocity flow matching "
+                             "(diffusion/flow.py; sample with "
+                             "--sampler euler/heun)")
+    parser.add_argument("--flow-path", type=str, default="linear",
+                        choices=["linear", "gvp"],
+                        help="flow interpolant path (--objective flow): "
+                             "linear = rectified flow; gvp = "
+                             "variance-preserving cos/sin")
     parser.add_argument("--synthetic-data", action="store_true")
     parser.add_argument("--schedule-sampler", type=str, default="uniform",
                         choices=["uniform", "loss-second-moment"])
