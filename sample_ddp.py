@@ -67,8 +67,17 @@ def main(args):
         assert args.num_classes == 1000
 
     latent_size = args.image_size // 8
+    is_flow = args.sampler in ("euler", "heun")
+    if is_flow:
+        assert args.cache_interval <= 1 and args.cfg_interval is None, (
+            "--sampler euler/heun integrate the flow ODE "
+            "(diffusion/flow.py); the layer cache and the DDPM sigma band "
+            "are discrete-chain features")
     model = DiT_models[args.model](input_size=latent_size,
                                    num_classes=args.num_classes,
+                                   # flow checkpoints predict velocity: no
+                                   # learned-sigma channel doubling
+                                   learn_sigma=not is_flow,
                                    attn_backend=args.attn_backend,
                                    quant=args.quantize,
                                    tome_ratio=args.tome_ratio,
@@ -147,7 +156,10 @@ def main(args):
             yy = jnp.concatenate([y, jnp.full((n,), 1000)], 0)
             cfg_apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
-                cfg_scale=args.cfg_scale, **kw)
+                cfg_scale=args.cfg_scale,
+                # flow CFG guides the full velocity (sample.py has the same)
+                **({"guidance_channels": model.in_channels} if is_flow else {}),
+                **kw)
             cond_apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
             apply = cfg_apply
             if args.cfg_interval is not None and args.cache_interval <= 1:
@@ -186,6 +198,14 @@ def main(args):
                 refresh_schedule=args.cache_schedule,
                 force_refresh_mask=forced, noise=z,
                 rng=jax.random.fold_in(rng, 2), clip_denoised=False)
+        elif sampler_kind in ("euler", "heun"):
+            # probability-flow ODE for a flow-matching checkpoint
+            # (--objective flow in train.py)
+            from fast_dit_tpu.diffusion import flow_sample_loop
+
+            samples = flow_sample_loop(
+                apply, z.shape, num_steps=args.num_sampling_steps,
+                method=sampler_kind, noise=z)
         elif sampler_kind == "dpm":
             samples = diffusion.dpm_solver_sample_loop(
                 apply, z.shape, noise=z, clip_denoised=False)
@@ -291,11 +311,14 @@ def build_parser():
                              "v5e+; a precision trade like bf16 -- see "
                              "docs/ABLATIONS.md)")
     parser.add_argument("--sampler", type=str, default="ddpm",
-                        choices=["ddpm", "ddim", "dpm", "unipc"],
+                        choices=["ddpm", "ddim", "dpm", "unipc",
+                                 "euler", "heun"],
                         help="dpm = DPM-Solver++(2M), deterministic "
                              "2nd-order; unipc = UniPC predictor-corrector "
                              "(same budget, strongest at <= 10 steps); "
-                             "pair both with small step counts")
+                             "pair both with small step counts; euler/heun "
+                             "integrate the flow ODE for checkpoints "
+                             "trained with --objective flow")
     parser.add_argument("--time-spacing", type=str, default="uniform",
                         choices=["uniform", "karras"],
                         help="placement of the retained timesteps: karras "

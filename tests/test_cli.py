@@ -39,7 +39,7 @@ def test_train_cli_synthetic(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("sampler", ["ddpm", "unipc"])
+@pytest.mark.parametrize("sampler", ["ddpm", "unipc", "heun"])
 def test_sample_cli_random(tmp_path, sampler):
     r = run_cli("sample.py", "--model", "DiT-S/8", "--num-sampling-steps", "4",
                 "--ckpt", "random", "--seed", "1", "--sampler", sampler)
