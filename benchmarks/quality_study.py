@@ -119,7 +119,7 @@ def train_classifier(*, image_size=32, steps=800, batch=256, lr=1e-3,
 
 def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
               lr=1e-4, ema_decay=0.999, seed=0, log_every=500,
-              attn_backend="auto", optimizer="adamw"):
+              attn_backend="auto", optimizer="adamw", objective="eps"):
     """Train class-conditional pixel-space DiT with the standard trainer
     (`train/train_lib.py` — the same step train.py jits). Returns
     (model, ema_variables, final_loss).
@@ -137,6 +137,8 @@ def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
 
     model = DiT_models[model_name](
         input_size=image_size, in_channels=3, num_classes=NUM_CLASSES,
+        # flow matching predicts a 3-channel velocity (diffusion/flow.py)
+        learn_sigma=objective == "eps",
         dtype=jnp.bfloat16, attn_backend=attn_backend,
         remat=True)  # train.py's default: full activations at bs256 OOM 16GB
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training
@@ -148,7 +150,7 @@ def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
         state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr)
     step_fn = jax.jit(
         make_train_step(model, diffusion.schedule, tx, ema_decay=ema_decay,
-                        lr=lr),
+                        lr=lr, objective=objective),
         donate_argnums=(0,))
 
     rng = np.random.default_rng(seed)
@@ -225,7 +227,14 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
     if tome_ratio > 0:
         model = model.clone(tome_ratio=tome_ratio,  # no params change
                             tome_mlp=tome_mlp)
-    if time_spacing == "karras":
+    is_flow = sampler in ("euler", "heun")
+    if is_flow:
+        # flow ODE (diffusion/flow.py): continuous time grid, no discrete
+        # chain — the cache / sigma band / karras spacing don't apply
+        assert interval == 1 and cfg_interval is None, (sampler, interval)
+        assert time_spacing == "uniform", time_spacing
+        diffusion = None
+    elif time_spacing == "karras":
         assert sampler in ("dpm", "unipc"), sampler
         diffusion = create_diffusion(f"karras{steps}")
     else:
@@ -242,7 +251,10 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
             yy = jnp.concatenate([y, jnp.full((batch,), model.num_classes)])
             apply = lambda x, t, **kw: model.apply(
                 params, x, t, yy, method=model.forward_with_cfg,
-                cfg_scale=cfg_scale, guidance_channels=3, **kw)
+                cfg_scale=cfg_scale,
+                # flow CFG guides the full velocity (= 3 for pixel models
+                # anyway; spelled out for latent flow DiTs)
+                guidance_channels=model.in_channels if is_flow else 3, **kw)
             cond_apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
             if cfg_interval is not None and interval == 1:
                 from fast_dit_tpu.diffusion import guidance_interval_fn
@@ -251,7 +263,12 @@ def make_sampler(model, ema, sampler, steps, interval, cfg_scale,
                     apply, cond_apply, diffusion.schedule, *cfg_interval)
         else:
             apply = lambda x, t, **kw: model.apply(params, x, t, y, **kw)
-        if sampler == "dpm":
+        if is_flow:
+            from fast_dit_tpu.diffusion import flow_sample_loop
+
+            out = flow_sample_loop(apply, z.shape, num_steps=steps,
+                                   method=sampler, noise=z)
+        elif sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(
                 apply, z.shape, noise=z, clip_denoised=clip_denoised)
         elif sampler == "unipc":
@@ -433,6 +450,11 @@ def main():
                     help="'factored' trains with the fused update + rank-1 "
                          "second moment (--fused-optimizer --factored-nu): "
                          "quality evidence for the round-4 fast config")
+    ap.add_argument("--objective", default="eps", choices=["eps", "flow"],
+                    help="'flow' trains SiT-style velocity matching "
+                         "(diffusion/flow.py) and evaluates the euler/heun "
+                         "ODE samplers at matched NFE budgets — the "
+                         "trained-model quality evidence for the flow path")
     ap.add_argument("--clf-steps", type=int, default=800)
     ap.add_argument("--num-eval", type=int, default=2048)
     ap.add_argument("--eval-batch", type=int, default=256)
@@ -463,7 +485,8 @@ def main():
         model, ema, loss = train_dit(
             model_name=args.model, image_size=args.image_size,
             steps=args.steps, batch=args.batch, ema_decay=args.ema_decay,
-            seed=args.seed, optimizer=args.optimizer)
+            seed=args.seed, optimizer=args.optimizer,
+            objective=args.objective)
         with open(dit_path, "wb") as f:
             f.write(serialization.to_bytes(ema))
         with open(clf_path, "wb") as f:
@@ -473,7 +496,8 @@ def main():
                        "train_steps": args.steps, "batch": args.batch,
                        "ema_decay": args.ema_decay, "final_loss": loss,
                        "judge_holdout_acc": clf_acc, "seed": args.seed,
-                       "optimizer": args.optimizer}, f)
+                       "optimizer": args.optimizer,
+                       "objective": args.objective}, f)
 
     if args.phase in ("all", "eval"):
         import jax.numpy as jnp
@@ -481,8 +505,10 @@ def main():
         from fast_dit_tpu.models import DiT_models
         with open(meta_path) as f:
             meta = json.load(f)
+        objective = meta.get("objective", "eps")
         model = DiT_models[meta["model"]](
             input_size=meta["image_size"], in_channels=3,
+            learn_sigma=objective == "eps",
             num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
         template = model.init(
             jax.random.PRNGKey(0),
@@ -498,7 +524,15 @@ def main():
             clf_params = serialization.from_bytes(clf_t, f.read())
         print(json.dumps({"meta": meta}), flush=True)
         configs = None
-        if args.config_set == "exact":
+        if objective == "flow":
+            # ODE samplers at NFE budgets matching the eps grid's anchors:
+            # euler250 ~ ddpm250, heun25/euler50 ~ 50 NFE, euler10 ~ dpm10;
+            # tome composes with flow (it lives inside the DiT blocks)
+            configs = [("euler", 250, 1, 1.5), ("euler", 50, 1, 1.5),
+                       ("heun", 25, 1, 1.5), ("heun", 10, 1, 1.5),
+                       ("euler", 10, 1, 1.5), ("euler", 250, 1, 1.0),
+                       ("euler", 250, 1, 1.5, 0.5)]
+        elif args.config_set == "exact":
             configs = [("ddpm", 250, 1, 1.5), ("ddim", 50, 1, 1.5),
                        ("dpm", 25, 1, 1.5)]
         evaluate_configs(model, ema, clf_params, clf.apply,
