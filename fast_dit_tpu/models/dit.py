@@ -31,7 +31,7 @@ from flax import linen as nn
 from .layers import DiTBlock, FinalLayer, LabelEmbedder, PatchEmbed, TimestepEmbedder
 from .pos_embed import get_2d_sincos_pos_embed
 
-__all__ = ["DiT", "DiT_models", "dit_config"]
+__all__ = ["DiT", "DiT_models", "dit_config", "dit_moe_config"]
 
 
 class DiT(nn.Module):
@@ -68,6 +68,14 @@ class DiT(nn.Module):
     # additionally merge the MLP branch: ~2x the saving, ~8x the drift
     # (docs/ABLATIONS.md "Token merging" section)
     tome_mlp: bool = False
+    # mixture-of-experts MLPs (models/moe.py): 0 = dense canonical DiT.
+    # Expert weights get a leading expert axis shardable over the mesh
+    # ('expert parallelism', parallel/mesh.py _EP_RULES); routing aux
+    # losses are sown into the 'losses' collection — apply with
+    # mutable=["losses"] during training (train/train_lib.py does)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity: float = 1.25
 
     @property
     def out_channels(self) -> int:
@@ -152,13 +160,19 @@ class DiT(nn.Module):
             quant: Optional[str]
             tome_r: int
             tome_mlp: bool
+            moe_experts: int
+            moe_top_k: int
+            moe_capacity: float
 
             def setup(self):
                 self.block = block(self.hidden_size, self.num_heads,
                                    mlp_ratio=self.mlp_ratio, dtype=self.dtype,
                                    attn_backend=self.attn_backend,
                                    quant=self.quant, tome_r=self.tome_r,
-                                   tome_mlp=self.tome_mlp)
+                                   tome_mlp=self.tome_mlp,
+                                   moe_experts=self.moe_experts,
+                                   moe_top_k=self.moe_top_k,
+                                   moe_capacity=self.moe_capacity)
 
             def __call__(self, carry, _):
                 xs, cs = carry
@@ -183,7 +197,9 @@ class DiT(nn.Module):
             tome_r = 0
         stack = nn.scan(
             BlockStack,
-            variable_axes={"params": 0},
+            # 'losses': per-layer MoE router aux losses (sown only when the
+            # collection is mutable, i.e. a training apply) stack on axis 0
+            variable_axes={"params": 0, "losses": 0},
             split_rngs={"params": True},
             length=self.depth,
             unroll=self.scan_unroll,
@@ -191,6 +207,7 @@ class DiT(nn.Module):
             methods=["__call__", "collect", "reuse"],
         )(self.hidden_size, self.num_heads, self.mlp_ratio, self.dtype,
           self.attn_backend, self.quant, tome_r, self.tome_mlp,
+          self.moe_experts, self.moe_top_k, self.moe_capacity,
           name="blocks")
         new_cache = None
         if cache is not None:
@@ -239,6 +256,14 @@ def dit_config(depth, hidden_size, patch_size, num_heads):
                              patch_size=patch_size, num_heads=num_heads)
 
 
+def dit_moe_config(depth, hidden_size, patch_size, num_heads, experts, top_k):
+    """MoE variant config ('<E>E<A>A' = E experts, A activated per token —
+    DiT-MoE naming). Beyond parity: the reference has no MoE family."""
+    return functools.partial(DiT, depth=depth, hidden_size=hidden_size,
+                             patch_size=patch_size, num_heads=num_heads,
+                             moe_experts=experts, moe_top_k=top_k)
+
+
 # Registry (reference models_original.py:365-370)
 DiT_models = {
     "DiT-XL/2": dit_config(28, 1152, 2, 16),
@@ -253,4 +278,8 @@ DiT_models = {
     "DiT-S/2": dit_config(12, 384, 2, 6),
     "DiT-S/4": dit_config(12, 384, 4, 6),
     "DiT-S/8": dit_config(12, 384, 8, 6),
+    # MoE family (models/moe.py): same backbone, routed expert MLPs
+    "DiT-MoE-S/2-8E2A": dit_moe_config(12, 384, 2, 6, 8, 2),
+    "DiT-MoE-B/2-8E2A": dit_moe_config(12, 768, 2, 12, 8, 2),
+    "DiT-MoE-XL/2-8E2A": dit_moe_config(28, 1152, 2, 16, 8, 2),
 }

@@ -391,6 +391,12 @@ class DiTBlock(nn.Module):
     # a trained model (MLP is purely per-token, so merging forces identical
     # outputs within groups — the ToMe-SD finding, measured in ABLATIONS)
     tome_mlp: bool = False
+    # mixture-of-experts MLP (models/moe.py, DiT-MoE-style): 0 = dense
+    # (bit-exact canonical block). Expert weights carry a leading expert
+    # axis shardable over the mesh (expert parallelism, parallel/mesh.py)
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity: float = 1.25
 
     def setup(self):
         # adaLN is batch-indexed (B, D) -> (B, 6D): ~1/256th of the token
@@ -401,8 +407,18 @@ class DiTBlock(nn.Module):
         self.attn = Attention(self.hidden_size, self.num_heads,
                               dtype=self.dtype, attn_backend=self.attn_backend,
                               quant=self.quant)
-        self.mlp = Mlp(int(self.hidden_size * self.mlp_ratio),
-                       self.hidden_size, dtype=self.dtype, quant=self.quant)
+        if self.moe_experts > 0:
+            from .moe import MoeMlp
+            assert self.quant is None, "int8 quant + MoE is untested"
+            self.mlp = MoeMlp(self.moe_experts,
+                              int(self.hidden_size * self.mlp_ratio),
+                              self.hidden_size, top_k=self.moe_top_k,
+                              capacity_factor=self.moe_capacity,
+                              dtype=self.dtype)
+        else:
+            self.mlp = Mlp(int(self.hidden_size * self.mlp_ratio),
+                           self.hidden_size, dtype=self.dtype,
+                           quant=self.quant)
         # LayerNorms carry no params; instances exist only so non-compact
         # methods can use them
         self.norm1 = nn.LayerNorm(epsilon=1e-6, use_bias=False,

@@ -2,6 +2,7 @@
 
 from .mesh import (
     batch_sharding,
+    create_expert_mesh,
     create_mesh,
     dit_param_spec,
     param_shardings,
@@ -16,6 +17,7 @@ from .sequence import (create_seq_mesh, dit_sequence_parallel_forward,
 
 __all__ = [
     "batch_sharding",
+    "create_expert_mesh",
     "create_mesh",
     "create_pipeline_mesh",
     "create_seq_mesh",

@@ -28,12 +28,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "create_mesh",
+    "create_expert_mesh",
     "dit_param_spec",
     "param_shardings",
     "batch_sharding",
     "replicated_sharding",
     "shard_params",
 ]
+
+
+def create_expert_mesh(expert: int, data: Optional[int] = None,
+                       devices=None) -> Mesh:
+    """Mesh over ('data', 'expert') for expert-parallel MoE training
+    (models/moe.py): expert FFN weights shard their leading expert axis
+    over 'expert' (see _EP_PARAM below) and GSPMD turns the dispatch/
+    combine einsums into the all-to-all. 'expert' innermost so the
+    token exchange rides the fastest ICI links."""
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if data is None:
+        assert n % expert == 0, f"{n} devices not divisible by expert={expert}"
+        data = n // expert
+    if data * expert != n:
+        raise ValueError(
+            f"mesh data={data} x expert={expert} uses {data * expert} of "
+            f"{n} devices; slice the device list explicitly")
+    arr = np.array(devices).reshape(data, expert)
+    return Mesh(arr, ("data", "expert"))
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mesh:
@@ -62,6 +83,13 @@ def create_mesh(data: Optional[int] = None, model: int = 1, devices=None) -> Mes
 # Shapes: qkv kernel (L, D, 3, H, hd); proj kernel (L, H, hd, D);
 # fc1 (L, D, 4D); fc2 (L, 4D, D). Column-parallel shards the output axis,
 # row-parallel the input axis, so each attention/MLP needs one all-reduce.
+# Expert-parallel (MoE, models/moe.py) params: wi (L, E, D, H),
+# bi (L, E, H), wo (L, E, H, D), bo (L, E, D) — shard the EXPERT axis
+# (axis 1, after the scan layer axis) over the mesh's 'expert' axis when
+# one exists, else over 'model' when tp is on. The router stays
+# replicated (it is tiny and every token needs every expert's logit).
+_EP_PARAM = re.compile(r"blocks/block/mlp/(wi|bi|wo|bo)$")
+
 _TP_RULES = [
     (r"blocks/block/attn/qkv/kernel", P(None, None, None, "model", None)),
     (r"blocks/block/attn/qkv/bias", P(None, None, "model", None)),
@@ -79,6 +107,11 @@ def _path_str(path) -> str:
 def dit_param_spec(path_str: str, shape, *, tp: bool, fsdp: bool, mesh: Mesh) -> P:
     """PartitionSpec for one DiT parameter under the requested modes."""
     spec = [None] * len(shape)
+    ep_axis = ("expert" if mesh.shape.get("expert", 1) > 1
+               else "model" if tp and mesh.shape.get("model", 1) > 1
+               else None)
+    if ep_axis and _EP_PARAM.search(path_str):
+        spec[1] = ep_axis
     if tp and mesh.shape.get("model", 1) > 1:
         for pattern, rule in _TP_RULES:
             if re.search(pattern, path_str):

@@ -119,6 +119,9 @@ def pipefusion_forward(model, variables, x, t, y, kv, *, mesh: Mesh,
     chunks (see module docstring). mlp_ratio=4 only (every registry config).
     """
     assert model.mlp_ratio == 4.0, "pipefusion supports mlp_ratio=4 configs"
+    assert getattr(model, "moe_experts", 0) == 0, (
+        "pipefusion rebuilds the dense block MLP (fc1/fc2); MoE models "
+        "(models/moe.py wi/wo expert stacks) are not supported here")
     p = variables["params"]
     n_stages = mesh.shape[axis]
     assert model.depth % n_stages == 0, (model.depth, n_stages)

@@ -138,9 +138,11 @@ def dit_pipeline_forward(model, variables, x, t, y, *, mesh: Mesh,
         {"params": p["y_embedder"]}, y, False)
     c = t_emb + y_emb.astype(t_emb.dtype)
 
-    assert not model.quant and model.tome_ratio == 0, (
-        "pipeline parallelism is exact-only: quant/tome settings "
-        f"(quant={model.quant!r}, tome_ratio={model.tome_ratio}) are not "
+    assert (not model.quant and model.tome_ratio == 0
+            and getattr(model, "moe_experts", 0) == 0), (
+        "pipeline parallelism is exact-only dense-DiT: quant/tome/moe "
+        f"(quant={model.quant!r}, tome_ratio={model.tome_ratio}, "
+        f"moe_experts={getattr(model, 'moe_experts', 0)}) are not "
         "supported by the stage-sharded block stack")
     block = DiTBlock(model.hidden_size, model.num_heads,
                      mlp_ratio=model.mlp_ratio, dtype=model.dtype,

@@ -86,9 +86,11 @@ def dit_sequence_parallel_forward(model, variables, x, t, y, *, mesh: Mesh,
                                  PatchEmbed, TimestepEmbedder)
     from ..models.pos_embed import get_2d_sincos_pos_embed
 
-    assert not model.quant and model.tome_ratio == 0, (
-        "sequence parallelism is exact-only: quant/tome settings "
-        f"(quant={model.quant!r}, tome_ratio={model.tome_ratio}) are not "
+    assert (not model.quant and model.tome_ratio == 0
+            and getattr(model, "moe_experts", 0) == 0), (
+        "sequence parallelism is exact-only dense-DiT: quant/tome/moe "
+        f"(quant={model.quant!r}, tome_ratio={model.tome_ratio}, "
+        f"moe_experts={getattr(model, 'moe_experts', 0)}) are not "
         "supported by the token-sharded block stack")
 
     p = variables["params"]

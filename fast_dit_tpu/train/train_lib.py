@@ -130,6 +130,8 @@ def make_train_step(
     weight_decay: float = 0.0,
     objective: str = "eps",
     flow_path: str = "linear",
+    moe_aux_weight: float = 1e-2,
+    moe_z_weight: float = 1e-3,
 ) -> Callable:
     """Build `train_step(state, batch, rng) -> (state, metrics)`.
 
@@ -154,7 +156,20 @@ def make_train_step(
     wrong arity, SURVEY.md §0.)
     """
 
+    # MoE routing aux losses (models/moe.py) are sown into the 'losses'
+    # collection; apply mutably and stash the traced values in a cell read
+    # back inside the SAME loss_for trace (so they join the loss and get
+    # gradients — the router trains through them)
+    is_moe = getattr(model, "moe_experts", 0) > 0
+    aux_cell = {}
+
     def default_model_call(params, x_t, t_model, batch, drop_rng):
+        if is_moe:
+            out, upd = model.apply(params, x_t, t_model, batch["y"],
+                                   train=True, rngs={"label_drop": drop_rng},
+                                   mutable=["losses"])
+            aux_cell["losses"] = upd["losses"]
+            return out
         return model.apply(params, x_t, t_model, batch["y"], train=True,
                            rngs={"label_drop": drop_rng})
 
@@ -173,6 +188,21 @@ def make_train_step(
         per_example = terms["loss"]
         loss = (weights * per_example).mean()
         metrics = {k: v.mean() for k, v in terms.items()}
+        if aux_cell:
+            # per-layer scalars, stacked on axis 0 by the block scan
+            sown = aux_cell.pop("losses")
+
+            def _mean_of(name):
+                leaves = [jnp.mean(v) for p, v in
+                          jax.tree_util.tree_flatten_with_path(sown)[0]
+                          if name in "/".join(
+                              str(getattr(k, "key", k)) for k in p)]
+                return jnp.mean(jnp.stack(leaves))
+
+            lb, zl = _mean_of("load_balance"), _mean_of("router_z")
+            loss = loss + moe_aux_weight * lb + moe_z_weight * zl
+            metrics["moe_load_balance"] = lb
+            metrics["moe_router_z"] = zl
         return loss, (metrics, per_example)
 
     def micro_grads(params, sampler_state, batch_mb, rng):

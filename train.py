@@ -23,7 +23,7 @@ from fast_dit_tpu.ckpt import CheckpointManager, flax_to_state_dict
 from fast_dit_tpu.data import FeatureDataset, feature_batches, synthetic_features
 from fast_dit_tpu.diffusion import create_diffusion
 from fast_dit_tpu.models import DiT_models
-from fast_dit_tpu.parallel import batch_sharding, create_mesh
+from fast_dit_tpu.parallel import batch_sharding, create_expert_mesh, create_mesh
 from fast_dit_tpu.train import create_train_state, make_sharded_train_step
 from fast_dit_tpu.utils import create_logger, make_experiment_dir
 from fast_dit_tpu.utils.logging import find_latest_experiment_dir
@@ -53,7 +53,7 @@ def main(args):
     logger.info(f"Experiment directory created at {experiment_dir}")
 
     assert args.image_size % 8 == 0, "Image size must be divisible by 8 (for the VAE encoder)."
-    n_data = len(jax.devices()) // args.tp
+    n_data = len(jax.devices()) // max(args.tp, args.ep)
     assert args.global_batch_size % (n_data * args.grad_accum) == 0, (
         f"global batch {args.global_batch_size} must be divisible by "
         f"data-axis size {n_data} x grad_accum {args.grad_accum}")
@@ -67,7 +67,19 @@ def main(args):
         dtype=dtype, remat=not args.no_remat, remat_policy=args.remat_policy,
         attn_backend=args.attn_backend, scan_unroll=args.scan_unroll)
 
-    mesh = create_mesh(model=args.tp)
+    if args.ep > 1:
+        # expert parallelism (MoE models, models/moe.py): a ('data',
+        # 'expert') mesh; the expert axis of the routed FFN weights shards
+        # over 'expert' (parallel/mesh.py _EP_PARAM). tp and ep build
+        # different meshes — pick one
+        assert args.tp == 1, "--tp and --ep are mutually exclusive meshes"
+        assert getattr(model, "moe_experts", 0) % args.ep == 0 and \
+            model.moe_experts >= args.ep, (
+            f"--ep {args.ep} must divide the model's expert count "
+            f"({getattr(model, 'moe_experts', 0)}); pick a DiT-MoE-* model")
+        mesh = create_expert_mesh(args.ep)
+    else:
+        mesh = create_mesh(model=args.tp)
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training process
     sampler_state = None
     if args.objective == "flow":
@@ -252,6 +264,10 @@ def parse_args():
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--ema-decay", type=float, default=0.9999)
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel axis size")
+    parser.add_argument("--ep", type=int, default=1,
+                        help="expert-parallel axis size (DiT-MoE-* models: "
+                             "shards the routed FFN expert axis over a "
+                             "('data','expert') mesh)")
     parser.add_argument("--fsdp", action="store_true", help="shard params over data axis")
     parser.add_argument("--grad-accum", type=int, default=1)
     parser.add_argument("--fp32", action="store_true", help="disable bf16 activations")
