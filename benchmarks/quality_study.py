@@ -119,7 +119,8 @@ def train_classifier(*, image_size=32, steps=800, batch=256, lr=1e-3,
 
 def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
               lr=1e-4, ema_decay=0.999, seed=0, log_every=500,
-              attn_backend="auto", optimizer="adamw", objective="eps"):
+              attn_backend="auto", optimizer="adamw", objective="eps",
+              schedule_sampler="uniform"):
     """Train class-conditional pixel-space DiT with the standard trainer
     (`train/train_lib.py` — the same step train.py jits). Returns
     (model, ema_variables, final_loss).
@@ -142,12 +143,24 @@ def train_dit(*, model_name="DiT-S/2", image_size=32, steps=6000, batch=256,
         dtype=jnp.bfloat16, attn_backend=attn_backend,
         remat=True)  # train.py's default: full activations at bs256 OOM 16GB
     diffusion = create_diffusion(timestep_respacing="")  # 1000-step training
+    sampler_state = None
+    if schedule_sampler != "uniform":
+        # loss-second-moment importance resampler (reference
+        # timestep_sampler.py:120-150) — the quality-study row that makes it
+        # a used feature rather than a parity checkbox
+        from fast_dit_tpu.diffusion import create_named_schedule_sampler
+
+        assert objective == "eps", "resampler is discrete-time machinery"
+        sampler_state = create_named_schedule_sampler(
+            schedule_sampler, diffusion.num_timesteps)
     if optimizer == "factored":
         state, tx = create_train_state(model, jax.random.PRNGKey(seed),
-                                       fused_optimizer=True, factored_nu=True)
+                                       fused_optimizer=True, factored_nu=True,
+                                       sampler_state=sampler_state)
     else:
         assert optimizer == "adamw", optimizer
-        state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr)
+        state, tx = create_train_state(model, jax.random.PRNGKey(seed), lr=lr,
+                                       sampler_state=sampler_state)
     step_fn = jax.jit(
         make_train_step(model, diffusion.schedule, tx, ema_decay=ema_decay,
                         lr=lr, objective=objective),
@@ -450,6 +463,11 @@ def main():
                     help="'factored' trains with the fused update + rank-1 "
                          "second moment (--fused-optimizer --factored-nu): "
                          "quality evidence for the round-4 fast config")
+    ap.add_argument("--schedule-sampler", default="uniform",
+                    choices=["uniform", "loss-second-moment"],
+                    help="train-time timestep importance sampler (reference "
+                         "timestep_sampler.py) — a study row for the "
+                         "loss-aware resampler")
     ap.add_argument("--objective", default="eps", choices=["eps", "flow"],
                     help="'flow' trains SiT-style velocity matching "
                          "(diffusion/flow.py) and evaluates the euler/heun "
@@ -486,7 +504,8 @@ def main():
             model_name=args.model, image_size=args.image_size,
             steps=args.steps, batch=args.batch, ema_decay=args.ema_decay,
             seed=args.seed, optimizer=args.optimizer,
-            objective=args.objective)
+            objective=args.objective,
+            schedule_sampler=args.schedule_sampler)
         with open(dit_path, "wb") as f:
             f.write(serialization.to_bytes(ema))
         with open(clf_path, "wb") as f:
@@ -497,6 +516,7 @@ def main():
                        "ema_decay": args.ema_decay, "final_loss": loss,
                        "judge_holdout_acc": clf_acc, "seed": args.seed,
                        "optimizer": args.optimizer,
+                       "schedule_sampler": args.schedule_sampler,
                        "objective": args.objective}, f)
 
     if args.phase in ("all", "eval"):

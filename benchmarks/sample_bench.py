@@ -47,10 +47,12 @@ def main():
     ap.add_argument("--quantize", default=None, choices=[None, "w8a8"],
                     help="int8 block projections (2x MXU peak; approximate)")
     ap.add_argument("--sampler", default="ddpm",
-                    choices=["ddpm", "ddim", "dpm", "unipc"],
+                    choices=["ddpm", "ddim", "dpm", "unipc", "euler", "heun"],
                     help="dpm = DPM-Solver++(2M), unipc = UniPC "
                          "predictor-corrector: pair with small "
-                         "--num-sampling-steps (10-25)")
+                         "--num-sampling-steps (10-25); euler/heun = flow "
+                         "ODE samplers (diffusion/flow.py, learn_sigma=False "
+                         "velocity model; heun is 2 NFE/step)")
     ap.add_argument("--time-spacing", default="uniform",
                     choices=["uniform", "karras"],
                     help="karras = retained timesteps at Karras sigma "
@@ -62,14 +64,22 @@ def main():
 
     latent = args.image_size // 8
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    is_flow = args.sampler in ("euler", "heun")
     model = DiT_models[args.model](input_size=latent, dtype=dtype,
                                    attn_backend=args.attn_backend,
                                    quant=args.quantize,
+                                   # flow model predicts a 4-channel velocity
+                                   learn_sigma=not is_flow,
                                    tome_ratio=args.tome_ratio,
                                    tome_mlp=args.tome_mlp)
     params = model.init({"params": jax.random.PRNGKey(0)},
                         jnp.zeros((1, 4, latent, latent)),
                         jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
+    if is_flow:
+        assert args.cache_interval <= 1 and args.cfg_interval is None and \
+            args.time_spacing == "uniform", (
+                "cache / sigma band / karras spacing are discrete-chain "
+                "machinery; the flow ODE grid has none")
     diffusion = create_diffusion(
         f"karras{args.num_sampling_steps}" if args.time_spacing == "karras"
         else str(args.num_sampling_steps))
@@ -85,7 +95,10 @@ def main():
             z = jnp.concatenate([z, z], 0)
             cfg_apply = lambda x, t, **kw: model.apply(
                 params, x, t, y, method=model.forward_with_cfg,
-                cfg_scale=args.cfg_scale, **kw)
+                cfg_scale=args.cfg_scale,
+                # flow CFG guides the full 4-channel velocity; eps models
+                # keep the reference 3-channel quirk (models_original.py:262)
+                guidance_channels=4 if is_flow else 3, **kw)
             cond_apply = lambda x, t, **kw: model.apply(params, x, t, y[:n],
                                                         **kw)
             apply = cfg_apply
@@ -116,6 +129,12 @@ def main():
                 refresh_schedule=args.cache_schedule,
                 force_refresh_mask=forced, noise=z, rng=rng,
                 clip_denoised=False)
+        elif is_flow:
+            from fast_dit_tpu.diffusion import flow_sample_loop
+
+            out = flow_sample_loop(apply, z.shape,
+                                   num_steps=args.num_sampling_steps,
+                                   method=args.sampler, noise=z)
         elif args.sampler == "dpm":
             out = diffusion.dpm_solver_sample_loop(apply, z.shape, noise=z,
                                                    clip_denoised=False)

@@ -170,6 +170,11 @@ def flax_to_state_dict(params: dict, patch_size: int, in_channels: int = 4,
     `input_size` to also emit the frozen `pos_embed` entry that a strict
     torch `load_state_dict` expects."""
     p = params["params"] if "params" in params else params
+    if "mlp" in p.get("blocks", {}).get("block", {}) and \
+            "wi" in p["blocks"]["block"]["mlp"]:
+        raise ValueError(
+            "flax_to_state_dict: MoE param trees (routed expert MLPs) have "
+            "no reference torch format; --export-pt supports dense DiT only")
     sd: Dict[str, np.ndarray] = {}
 
     kern = np.asarray(p["x_embedder"]["proj"]["kernel"])   # (C*p*p, D)

@@ -39,6 +39,17 @@ from .layers import xavier_uniform, zeros_init
 __all__ = ["MoeMlp", "expert_capacity"]
 
 
+def stacked_xavier_uniform(rng, shape, dtype=jnp.float32):
+    """Per-expert xavier_uniform over a leading expert axis.
+
+    flax's xavier_uniform on an (E, D, H) kernel treats the leading dims as
+    receptive field (fan_in = E*D), so every expert would initialize
+    ~sqrt(E) smaller than its dense equivalent. vmap the dense initializer
+    over axis 0 so each (D, H) expert matches `layers.Mlp` exactly."""
+    return jax.vmap(lambda r: xavier_uniform(r, shape[1:], dtype))(
+        jax.random.split(rng, shape[0]))
+
+
 def expert_capacity(num_tokens: int, num_experts: int, top_k: int,
                     capacity_factor: float) -> int:
     """Per-expert token capacity C (static): ceil(k*S/E) * factor, >= 1."""
@@ -60,7 +71,11 @@ def _top_k_one_hot(gates, k):
         oh = jax.nn.one_hot(idx, gates.shape[-1], dtype=gates.dtype)
         sels.append(oh)
         topgs.append(jnp.sum(oh * gates, axis=-1))
-        masked = masked * (1.0 - oh)  # exclude the chosen expert
+        # exclude the chosen expert additively: a multiplicative *0 mask can
+        # re-select an already-chosen expert when all remaining gates
+        # underflow to exactly 0 (argmax ties resolve to index 0), silently
+        # burning a capacity slot
+        masked = jnp.where(oh > 0, -jnp.inf, masked)
     return jnp.stack(sels, axis=-2), jnp.stack(topgs, axis=-1)
 
 
@@ -114,11 +129,11 @@ class MoeMlp(nn.Module):
         dispatch = jnp.sum(disp, axis=1)                 # (B, S, E, C) 0/1
 
         # --- expert compute: stacked weights, leading expert axis ----------
-        wi = self.param("wi", xavier_uniform,
+        wi = self.param("wi", stacked_xavier_uniform,
                         (E, D, self.hidden_features)).astype(self.dtype)
         bi = self.param("bi", zeros_init,
                         (E, self.hidden_features)).astype(self.dtype)
-        wo = self.param("wo", xavier_uniform,
+        wo = self.param("wo", stacked_xavier_uniform,
                         (E, self.hidden_features,
                          self.out_features)).astype(self.dtype)
         bo = self.param("bo", zeros_init,
@@ -142,5 +157,11 @@ class MoeMlp(nn.Module):
                      reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
             z = jax.scipy.special.logsumexp(logits, axis=-1)
             self.sow("losses", "router_z", jnp.mean(z * z),
+                     reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
+            # telemetry (not a loss): fraction of (token, choice) slots
+            # dropped by the capacity limit — the number that decides
+            # whether capacity_factor=1.25 is enough in practice
+            dropped = 1.0 - jnp.sum(keep.astype(jnp.float32)) / (B * S * k)
+            self.sow("losses", "dropped_frac", dropped,
                      reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
         return y

@@ -161,6 +161,11 @@ def make_train_step(
     # back inside the SAME loss_for trace (so they join the loss and get
     # gradients — the router trains through them)
     is_moe = getattr(model, "moe_experts", 0) > 0
+    assert not (is_moe and model_call is not None), (
+        "custom model_call with a MoE model would silently drop the routing "
+        "aux losses (they are sown into the 'losses' collection, which only "
+        "default_model_call applies mutably) — the router could collapse. "
+        "Extend default_model_call instead.")
     aux_cell = {}
 
     def default_model_call(params, x_t, t_model, batch, drop_rng):
@@ -203,6 +208,8 @@ def make_train_step(
             loss = loss + moe_aux_weight * lb + moe_z_weight * zl
             metrics["moe_load_balance"] = lb
             metrics["moe_router_z"] = zl
+            # telemetry only (never joins the loss): capacity-overflow rate
+            metrics["moe_dropped_frac"] = _mean_of("dropped_frac")
         return loss, (metrics, per_example)
 
     def micro_grads(params, sampler_state, batch_mb, rng):
@@ -286,6 +293,8 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
                             model_call: Optional[Callable] = None,
                             lr: float = 1e-4, weight_decay: float = 0.0,
                             objective: str = "eps", flow_path: str = "linear",
+                            moe_aux_weight: float = 1e-2,
+                            moe_z_weight: float = 1e-3,
                             example_state: TrainState = None):
     """jit the train step over a mesh: batch sharded on 'data', state sharded
     per the DiT param rules, state buffers donated."""
@@ -293,7 +302,9 @@ def make_sharded_train_step(model, schedule, tx, mesh, *, tp: bool = False,
                               grad_accum=grad_accum, log_grad_norm=log_grad_norm,
                               model_call=model_call, lr=lr,
                               weight_decay=weight_decay, objective=objective,
-                              flow_path=flow_path)
+                              flow_path=flow_path,
+                              moe_aux_weight=moe_aux_weight,
+                              moe_z_weight=moe_z_weight)
     assert example_state is not None, "need an example state for sharding layout"
 
     rep = replicated_sharding(mesh)

@@ -97,7 +97,8 @@ def main(args):
 
     vae_path = (args.vae_ckpt or os.environ.get("SD_VAE_PATH")
                 or f"pretrained_models/sd-vae-ft-{args.vae}")
-    vae = AutoencoderKL()
+    vae = AutoencoderKL(block_out_channels=tuple(
+        int(c) for c in args.vae_channels.split(",")))
     vae_params = import_vae_checkpoint(vae_path, vae) if os.path.exists(vae_path) else None
     if vae_params is None:
         print("WARNING: no SD-VAE weights found; saving latent-preview PNGs "
@@ -278,6 +279,10 @@ def build_parser():
                              "pretrained DiT-XL/2); 'random' for random init")
     # TPU-native extensions
     parser.add_argument("--vae-ckpt", type=str, default=None)
+    parser.add_argument("--vae-channels", type=str, default="128,256,512,512",
+                        help="AutoencoderKL block_out_channels (the SD "
+                             "default); narrow configs support end-to-end "
+                             "drills with synthetic VAE weights")
     parser.add_argument("--attn-backend", type=str, default="auto",
                         choices=["auto", "xla", "pallas", "einsum"])
     parser.add_argument("--io-threads", type=int, default=16)

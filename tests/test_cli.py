@@ -167,6 +167,64 @@ def test_validate_pretrained_dry_run(tmp_path):
 
 
 @pytest.mark.slow
+def test_day_one_drill_full_validation(tmp_path):
+    """The complete day-one pipeline, NOT the dry run (VERDICT r4 item 5):
+    train --export-pt -> validate_pretrained.py FULL run (activation parity
+    vs the torch oracle, VAE import through the diffusers name mapper, demo
+    grid, sample_ddp npz) -> tools/evaluate_samples.py on the npz. The dry
+    run proves flags parse; this proves every stage executes on a real
+    exported checkpoint + a diffusers-format VAE file."""
+    # 1. train a tiny dense DiT and export the reference-format EMA .pt
+    r = run_cli(
+        "train.py", "--model", "DiT-S/8", "--synthetic-data",
+        "--global-batch-size", "8", "--max-steps", "2", "--log-every", "1",
+        "--results-dir", str(tmp_path), "--epochs", "1", "--export-pt")
+    assert r.returncode == 0, r.stderr[-2000:]
+    exp = os.listdir(tmp_path)[0]
+    ckpt_dir = tmp_path / exp / "checkpoints"
+    pt = [f for f in os.listdir(ckpt_dir) if f.endswith("-ema.pt")][0]
+
+    # 2. a synthetic diffusers-format kl-f8 VAE checkpoint (random weights
+    #    through the REAL import path — the f8-small analog of
+    #    sd-vae-ft-mse/diffusion_pytorch_model.bin)
+    import torch
+
+    from tests.test_vae import make_vae_state_dict
+    sd = make_vae_state_dict(seed=3, channels=(32, 32, 64, 64), latent=4)
+    vae_bin = tmp_path / "vae.bin"
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, str(vae_bin))
+
+    # 3. the full validation kit (no --dry-run)
+    out_dir = tmp_path / "validate"
+    r = run_cli("tools/validate_pretrained.py",
+                "--dit", str(ckpt_dir / pt), "--model", "DiT-S/8",
+                "--image-size", "256", "--num-sampling-steps", "4",
+                "--cfg-scale", "1.5", "--num-fid-samples", "16",
+                "--vae", str(vae_bin), "--vae-config", "f8-small",
+                "--out-dir", str(out_dir), timeout=1800)
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-2000:])
+    out = r.stdout + r.stderr
+    assert "ALL CHECKS PASSED" in out, out[-2000:]
+    summary = json.load(open(out_dir / "validate_summary.json"))
+    assert summary["ok"] and summary["parity_max_abs"] < 1e-3
+
+    # 4. the npz feeds the offline evaluator (the ADM-suite stand-in)
+    npzs = [os.path.join(root, f)
+            for root, _, fs in os.walk(out_dir / "fid_samples")
+            for f in fs if f.endswith(".npz")]
+    assert len(npzs) == 1
+    assert np.load(npzs[0])["arr_0"].shape == (16, 256, 256, 3)
+    ref_npz = str(tmp_path / "ref.npz")
+    np.savez(ref_npz, arr_0=np.random.RandomState(0).randint(
+        0, 256, (16, 256, 256, 3), np.uint8))
+    r = run_cli("tools/evaluate_samples.py", "--generated", npzs[0],
+                "--reference", ref_npz, "--feature-net", "random")
+    assert r.returncode == 0, r.stderr[-2000:]
+    vals = dict(l.split(": ") for l in r.stdout.splitlines() if ": " in l)
+    assert np.isfinite(float(vals["fid"])) and float(vals["fid"]) > 0
+
+
+@pytest.mark.slow
 def test_nvs_demo_cli(tmp_path):
     """The runnable NVS pipeline (tools/nvs_demo.py): warp -> mask ->
     inpaint -> metrics, plus the DiTNVS fork-variant path."""

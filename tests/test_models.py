@@ -59,8 +59,9 @@ def test_registry_configs(name, depth, hidden, patch, heads):
 
 
 def test_registry_complete():
-    assert set(DiT_models) == {
-        f"DiT-{s}/{p}" for s in ["XL", "L", "B", "S"] for p in [2, 4, 8]}
+    dense = {f"DiT-{s}/{p}" for s in ["XL", "L", "B", "S"] for p in [2, 4, 8]}
+    moe = {f"DiT-MoE-{s}/2-8E2A" for s in ["XL", "B", "S"]}
+    assert set(DiT_models) == dense | moe
 
 
 def test_xl2_param_count():

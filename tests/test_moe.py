@@ -174,6 +174,62 @@ def test_moe_combine_weights_sum_to_one():
     assert jnp.abs(got - want).max() < 1e-5
 
 
+def test_stacked_expert_init_matches_dense_scale():
+    """Each expert's (D, H) kernel must initialize at the DENSE xavier scale
+    — flax's fan computation on a stacked (E, D, H) kernel would shrink it
+    by ~sqrt(E) (advisor round-4 finding, invisible to the E=1 test)."""
+    import numpy as np
+
+    from fast_dit_tpu.models.layers import xavier_uniform
+    from fast_dit_tpu.models.moe import stacked_xavier_uniform
+
+    E, D, H = 8, 64, 256
+    stacked = stacked_xavier_uniform(jax.random.PRNGKey(0), (E, D, H))
+    dense = xavier_uniform(jax.random.PRNGKey(1), (D, H))
+    for e in range(E):
+        ratio = float(jnp.std(stacked[e]) / jnp.std(dense))
+        assert 0.8 < ratio < 1.25, (e, ratio)
+    # experts are NOT identical copies
+    assert float(jnp.abs(stacked[0] - stacked[1]).max()) > 0
+
+
+def test_top_k_never_reselects_on_underflow():
+    """With one dominant gate and the rest exactly 0, k=2 must pick two
+    DISTINCT experts (multiplicative masking would re-pick expert argmax=0
+    and burn a capacity slot)."""
+    from fast_dit_tpu.models.moe import _top_k_one_hot
+
+    gates = jnp.array([[[0.0, 1.0, 0.0, 0.0]]])  # underflowed except e1
+    sel, topg = _top_k_one_hot(gates, 2)
+    chosen = jnp.argmax(sel[0, 0], axis=-1)
+    assert chosen[0] != chosen[1]
+    assert int(jnp.sum(sel)) == 2
+
+
+def test_moe_export_pt_raises_clear_error():
+    """flax_to_state_dict on a MoE tree must fail with a clear ValueError,
+    not a KeyError mid-walk (there is no reference torch format for MoE)."""
+    from fast_dit_tpu.ckpt.torch_import import flax_to_state_dict
+
+    m = _moe_dit()
+    x = jnp.ones((1, 4, 16, 16))
+    v = m.init({"params": jax.random.PRNGKey(0)}, x,
+               jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))
+    with pytest.raises(ValueError, match="MoE"):
+        flax_to_state_dict(v, patch_size=4)
+
+
+def test_moe_rejects_custom_model_call():
+    """A custom model_call with a MoE model would silently drop the router
+    aux losses — make_train_step must refuse."""
+    m = _moe_dit()
+    betas = get_named_beta_schedule("squaredcos_cap_v2", 64)
+    sched = DiffusionSchedule.create(betas)
+    with pytest.raises(AssertionError, match="model_call"):
+        make_train_step(m, sched, None,
+                        model_call=lambda *a: None)
+
+
 if __name__ == "__main__":
     import sys
 

@@ -27,7 +27,11 @@ CHANNELS = (32, 64)
 LATENT = 4
 
 
-def make_vae_state_dict(seed=0):
+def make_vae_state_dict(seed=0, channels=None, latent=None):
+    """Random diffusers-format AutoencoderKL state dict (any config) — the
+    synthetic stand-in for sd-vae-ft-* in this offline environment."""
+    CHANNELS = channels if channels is not None else globals()["CHANNELS"]
+    LATENT = latent if latent is not None else globals()["LATENT"]
     rs = np.random.RandomState(seed)
 
     def w(*shape, scale=0.15):

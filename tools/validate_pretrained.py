@@ -183,6 +183,11 @@ def main():
                          "units; fp32 torch-CPU vs XLA-highest accumulate "
                          "differently across 28 layers)")
     ap.add_argument("--skip-fid", action="store_true")
+    ap.add_argument("--vae-config", default="sd", choices=["sd", "f8-small"],
+                    help="'sd' = the real SD-VAE architecture (day-one "
+                         "default); 'f8-small' = a narrow 4-stage kl-f8 "
+                         "config for end-to-end drills with synthetic "
+                         "weights (tests/test_cli.py day-one drill)")
     ap.add_argument("--out-dir", default="validate_out")
     ap.add_argument("--dry-run", action="store_true",
                     help="tiny random-weight DiT + random-init VAE: exercises "
@@ -247,7 +252,8 @@ def main():
                 f"max|Δ|={dmax:.2e} (bound {args.parity_atol:.0e})")
 
     # -- B: VAE import + roundtrip ----------------------------------------
-    vae = AutoencoderKL()
+    vae = (AutoencoderKL() if args.vae_config == "sd"
+           else AutoencoderKL(block_out_channels=(32, 32, 64, 64)))
     vae_path = (args.vae or os.environ.get("SD_VAE_PATH") or "")
     if args.dry_run and not (vae_path and os.path.exists(vae_path)):
         vae_params = vae.init(
@@ -326,6 +332,8 @@ def main():
         ]
         if vae_path and os.path.exists(vae_path):
             overrides += ["--vae-ckpt", vae_path]
+        if args.vae_config == "f8-small":
+            overrides += ["--vae-channels", "32,32,64,64"]
         if not args.dry_run:
             overrides += ["--bf16"]
         ns = sample_ddp.build_parser().parse_args(overrides)

@@ -108,6 +108,7 @@ def main(args):
         model, diffusion.schedule, tx, mesh, tp=args.tp > 1, fsdp=args.fsdp,
         grad_accum=args.grad_accum, ema_decay=args.ema_decay, lr=args.lr,
         objective=args.objective, flow_path=args.flow_path,
+        moe_aux_weight=args.moe_aux_weight, moe_z_weight=args.moe_z_weight,
         example_state=state)
     state = jax.device_put(state, st_sh)
     data_sh = {"x": batch_sharding(mesh), "y": batch_sharding(mesh)}
@@ -225,7 +226,11 @@ def main(args):
 
     ckpt_mgr.save(train_steps, state, force=True)
     ckpt_mgr.wait_until_finished()
-    if args.export_pt and jax.process_count() == 1:
+    if args.export_pt and getattr(model, "moe_experts", 0) > 0:
+        logger.warning(
+            "--export-pt skipped: MoE param trees (routed expert MLPs) have "
+            "no reference torch format; torch export supports dense DiT only")
+    elif args.export_pt and jax.process_count() == 1:
         import torch
         sd = flax_to_state_dict(jax.device_get(state.ema),
                                 patch_size=model.patch_size,
@@ -264,6 +269,10 @@ def parse_args():
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--ema-decay", type=float, default=0.9999)
     parser.add_argument("--tp", type=int, default=1, help="tensor-parallel axis size")
+    parser.add_argument("--moe-aux-weight", type=float, default=1e-2,
+                        help="Switch load-balance aux-loss weight (MoE models)")
+    parser.add_argument("--moe-z-weight", type=float, default=1e-3,
+                        help="ST-MoE router z-loss weight (MoE models)")
     parser.add_argument("--ep", type=int, default=1,
                         help="expert-parallel axis size (DiT-MoE-* models: "
                              "shards the routed FFN expert axis over a "
