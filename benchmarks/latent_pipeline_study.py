@@ -32,9 +32,16 @@ from this repo:
 Everything is deterministic given the seeds. Output: one JSON line per
 config (+ a VAE sanity row), optionally written to --jsonl.
 
-Usage (one TPU chip):
-    python benchmarks/latent_pipeline_study.py --out-dir /tmp/lstudy \
-        --jsonl performance/v5e/latent_pipeline_256.jsonl
+Usage (one TPU chip). The axon tunnel client leaks host RAM roughly
+linearly in bytes transferred host<->device; the full 256² chain moves
+enough to get the single process OOM-killed at ~130 GB RSS (observed
+2026-08-21), so production runs chain one phase per process:
+
+    for ph in build vae judge dit eval; do
+        python benchmarks/latent_pipeline_study.py --phase $ph \
+            --out-dir /tmp/lstudy \
+            --jsonl performance/v5e/latent_pipeline_256.jsonl
+    done
 """
 
 from __future__ import annotations
@@ -411,6 +418,20 @@ def evaluate(model, ema, vae, vae_params, lat_scale, clf_params, clf_apply,
 # CLI
 # ---------------------------------------------------------------------------
 
+def _save_tree(path, tree):
+    from flax import serialization
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+
+
+def _load_tree(path):
+    """Restore a param tree WITHOUT a template (msgpack_restore returns
+    plain nested dicts of numpy arrays — flax apply accepts them)."""
+    from flax import serialization
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
 def main():
     from fast_dit_tpu.utils.platform import (maybe_enable_compilation_cache,
                                              maybe_force_cpu)
@@ -418,6 +439,16 @@ def main():
     maybe_enable_compilation_cache()
 
     ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", default="all",
+                    choices=["all", "build", "vae", "judge", "dit", "eval"],
+                    help="run ONE stage per process. The axon tunnel client "
+                         "leaks host RAM roughly linearly in bytes "
+                         "transferred host<->device (~130 GB over the full "
+                         "256² chain — the kernel OOM-killed the single-"
+                         "process run), so the production invocation chains "
+                         "build -> vae -> judge -> dit -> eval as five "
+                         "processes sharing --out-dir. 'all' remains for "
+                         "small sizes/tests.")
     ap.add_argument("--image-size", type=int, default=256,
                     help="pixel resolution; latents are size/8 (256 -> the "
                          "reference 32²-latent contract, 512 -> 64² latents"
@@ -442,46 +473,102 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     holdout = min(1024, args.dataset_size // 4)
+    d = lambda name: os.path.join(args.out_dir, name)
+    meta_path = d("study_meta.json")
+    meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
 
-    pixels, labels = build_pixel_dataset(
-        args.dataset_size, args.image_size, seed=args.seed)
+    def save_meta():
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
-    vae, vae_params, vmet = train_vae(
-        pixels[: len(pixels) - holdout], steps=args.vae_steps,
-        batch=args.vae_batch, seed=args.seed)
-    print(json.dumps({"vae": vmet}), flush=True)
+    import jax
+    import jax.numpy as jnp
+    from fast_dit_tpu.data.synthetic import NUM_CLASSES
+    from fast_dit_tpu.models import DiT_models
+    from fast_dit_tpu.models.vae import AutoencoderKL
 
-    clf_params, clf_apply, clf_acc = train_judge_cached(
-        pixels, labels, steps=args.clf_steps, holdout=holdout,
-        seed=args.seed)
-    print(json.dumps({"judge_holdout_acc": clf_acc}), flush=True)
+    if args.phase in ("all", "build"):
+        pixels, labels = build_pixel_dataset(
+            args.dataset_size, args.image_size, seed=args.seed)
+        np.save(d("pixels.npy"), pixels)
+        np.save(d("labels.npy"), labels)
+    else:
+        pixels = np.load(d("pixels.npy"))
+        labels = np.load(d("labels.npy"))
 
-    latents = encode_dataset(vae, vae_params, pixels, vmet["latent_scale"],
-                             batch=args.eval_batch, seed=args.seed)
-    print(json.dumps({"latents": list(latents.shape)}), flush=True)
+    if args.phase in ("all", "vae"):
+        vae, vae_params, vmet = train_vae(
+            pixels[: len(pixels) - holdout], steps=args.vae_steps,
+            batch=args.vae_batch, seed=args.seed)
+        print(json.dumps({"vae": vmet}), flush=True)
+        _save_tree(d("vae_params.msgpack"), vae_params)
+        meta.update(vae=vmet, image_size=args.image_size,
+                    vae_steps=args.vae_steps)
+        save_meta()
+        latents = encode_dataset(vae, vae_params, pixels,
+                                 vmet["latent_scale"],
+                                 batch=args.eval_batch, seed=args.seed)
+        np.save(d("latents.npy"), latents)
+        print(json.dumps({"latents": list(latents.shape)}), flush=True)
+    elif args.phase in ("judge", "dit", "eval"):
+        vmet = meta["vae"]
+        vae = AutoencoderKL(block_out_channels=(32, 64, 128, 128))
+        vae_params = (_load_tree(d("vae_params.msgpack"))
+                      if args.phase == "eval" else None)
 
-    model, ema, loss = train_latent_dit(
-        latents, labels, steps=args.dit_steps, batch=args.dit_batch,
-        seed=args.seed, n_train=len(latents) - holdout)
-    print(json.dumps({"latent_dit_final_loss": round(loss, 4)}), flush=True)
+    if args.phase in ("all", "judge"):
+        clf_params, clf_apply, clf_acc = train_judge_cached(
+            pixels, labels, steps=args.clf_steps, holdout=holdout,
+            seed=args.seed)
+        print(json.dumps({"judge_holdout_acc": clf_acc}), flush=True)
+        _save_tree(d("clf_params.msgpack"), clf_params)
+        meta.update(judge_holdout_acc=clf_acc)
+        save_meta()
 
-    rows = evaluate(model, ema, vae, vae_params, vmet["latent_scale"],
-                    clf_params, clf_apply, image_size=args.image_size,
-                    num_eval=args.num_eval, batch=args.eval_batch,
-                    eval_seeds=args.eval_seeds, jsonl_path=args.jsonl,
-                    grid_dir=args.grid_dir)
-    # prepend run metadata into the jsonl
-    if args.jsonl:
-        meta = {"meta": {"image_size": args.image_size, "vae": vmet,
-                         "judge_holdout_acc": clf_acc,
-                         "latent_dit_final_loss": round(loss, 4),
-                         "dit_steps": args.dit_steps,
-                         "vae_steps": args.vae_steps}}
-        with open(args.jsonl) as f:
-            body = f.read()
-        with open(args.jsonl, "w") as f:
-            f.write(json.dumps(meta) + "\n" + body)
-    print(json.dumps({"rows": len(rows)}), flush=True)
+    if args.phase in ("all", "dit"):
+        latents = (np.load(d("latents.npy")) if args.phase == "dit"
+                   else latents)
+        model, ema, loss = train_latent_dit(
+            latents, labels, steps=args.dit_steps, batch=args.dit_batch,
+            seed=args.seed, n_train=len(latents) - holdout)
+        print(json.dumps({"latent_dit_final_loss": round(loss, 4)}),
+              flush=True)
+        _save_tree(d("dit_ema.msgpack"), ema)
+        meta.update(latent_dit_final_loss=round(loss, 4),
+                    dit_steps=args.dit_steps,
+                    latent_hw=int(latents.shape[-1]))
+        save_meta()
+
+    if args.phase in ("all", "eval"):
+        if args.phase == "eval":
+            from benchmarks.quality_study import build_classifier
+            clf_apply = build_classifier().apply
+            clf_params = _load_tree(d("clf_params.msgpack"))
+            clf_acc = meta["judge_holdout_acc"]
+            model = DiT_models["DiT-S/2"](
+                input_size=meta["latent_hw"], in_channels=4,
+                num_classes=NUM_CLASSES, dtype=jnp.bfloat16)
+            ema = _load_tree(d("dit_ema.msgpack"))
+            loss = meta["latent_dit_final_loss"]
+        rows = evaluate(model, ema, vae, vae_params, vmet["latent_scale"],
+                        clf_params, clf_apply, image_size=args.image_size,
+                        num_eval=args.num_eval, batch=args.eval_batch,
+                        eval_seeds=args.eval_seeds, jsonl_path=args.jsonl,
+                        grid_dir=args.grid_dir)
+        # prepend run metadata into the jsonl
+        if args.jsonl:
+            hdr = {"meta": {"image_size": args.image_size, "vae": vmet,
+                            "judge_holdout_acc": clf_acc,
+                            "latent_dit_final_loss": loss,
+                            "dit_steps": meta.get("dit_steps",
+                                                  args.dit_steps),
+                            "vae_steps": meta.get("vae_steps",
+                                                  args.vae_steps)}}
+            with open(args.jsonl) as f:
+                body = f.read()
+            with open(args.jsonl, "w") as f:
+                f.write(json.dumps(hdr) + "\n" + body)
+        print(json.dumps({"rows": len(rows)}), flush=True)
 
 
 if __name__ == "__main__":
